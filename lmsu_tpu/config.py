@@ -1,0 +1,203 @@
+"""Configuration layer for the TPU-native multi-modal scene-understanding framework.
+
+The reference repo has *no* config system: every hyperparameter is a hard-coded
+literal in its entry scripts (reference: train_pandaset.py:79-163,
+train_with_fusion_ablation.py:10-66).  This module promotes those literals to
+typed dataclasses with the reference values as defaults, per SURVEY.md §5.
+
+Defaults of record (reference file:line):
+  lr 1e-3, weight_decay 1e-3            trainer.py:42
+  batch 4, cosine eta_min 1e-5          trainer.py:59-61
+  image 256x256                         pandaset_dataset.py:56
+  BEV grid 64x64, pc_range +-50 m       pandaset_dataset.py:57,66
+  max_points 5000                       pandaset_dataset.py:58
+  lidar pc range [-50,-50,-5,50,50,3]   lidar_encoder.py:12
+  class weights [0.4, 3.5] (2-class)    train_with_fusion_ablation.py:47
+  class weights [0.39,2.61,33.09] (3c)  train_pandaset.py:136
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class CameraEncoderConfig:
+    """TwinLite-style lightweight CNN (reference: camera_encoder.py:56-123)."""
+
+    in_channels: int = 3
+    base_channels: int = 32
+    return_multiscale: bool = True
+    # Width multiplier lets the same definition serve as a larger KD teacher.
+    width_mult: float = 1.0
+
+    @property
+    def channels(self) -> Tuple[int, int, int]:
+        b = int(round(self.base_channels * self.width_mult))
+        return (b, b * 2, b * 4)
+
+
+@dataclass(frozen=True)
+class LidarEncoderConfig:
+    """PointNet-style BEV encoder (reference: lidar_encoder.py:9-41)."""
+
+    encoder_type: str = "spatial"  # "spatial" | "pointpillars"
+    input_dim: int = 4
+    feature_dim: int = 128
+    grid_size: Tuple[int, int] = (64, 64)
+    point_cloud_range: Tuple[float, float, float, float, float, float] = (
+        -50.0, -50.0, -5.0, 50.0, 50.0, 3.0)
+    mlp_dims: Tuple[int, ...] = (64, 128)
+    # Use the Pallas voxelization kernel on TPU (lax segment-max otherwise).
+    use_pallas: bool = False
+    width_mult: float = 1.0
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Complete fusion segmentation model (reference: fusion_module.py:179-232)."""
+
+    num_classes: int = 2
+    fusion_type: str = "concat"  # "concat" | "minimal" | "weighted"
+    fusion_out_channels: int = 256
+    camera_fpn_channels: int = 128
+    # The reference experiments of record all select these three stages
+    # (train_pandaset.py:120, train_with_fusion_ablation.py:36); None = all.
+    camera_fpn_stages: Optional[Tuple[str, ...]] = ("stage3", "stage4", "stage5")
+    output_mode: str = "same"  # "same" | "x4"
+    camera: CameraEncoderConfig = field(default_factory=CameraEncoderConfig)
+    lidar: LidarEncoderConfig = field(default_factory=LidarEncoderConfig)
+    # Compute dtype: bf16 rides the MXU at full rate on TPU; params stay fp32.
+    compute_dtype: Any = jnp.float32
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def teacher_config(student: ModelConfig, width_mult: float = 2.0) -> ModelConfig:
+    """A wider variant of the student used as the KD teacher.
+
+    The reference repo names itself "knowledge distillation" but contains no
+    teacher (SURVEY.md §0); the north star asks for a teacher->student KD loss.
+    We scale the student's width — the standard KD setup for this model family.
+    """
+    return student.replace(
+        camera=dataclasses.replace(student.camera, width_mult=width_mult),
+        lidar=dataclasses.replace(
+            student.lidar,
+            feature_dim=int(student.lidar.feature_dim * width_mult),
+            mlp_dims=tuple(int(d * width_mult) for d in student.lidar.mlp_dims),
+            width_mult=width_mult,
+        ),
+        camera_fpn_channels=int(student.camera_fpn_channels * width_mult),
+        fusion_out_channels=int(student.fusion_out_channels * width_mult),
+    )
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    """Dataset + host input pipeline (reference: pandaset_dataset.py:48-157)."""
+
+    root: str = "data/pandaset"
+    dataset: str = "synthetic"  # "pandaset" | "synthetic"
+    image_size: Tuple[int, int] = (256, 256)
+    grid_size: Tuple[int, int] = (64, 64)
+    max_points: int = 5000
+    pc_range: Tuple[float, float, float, float] = (-50.0, 50.0, -50.0, 50.0)
+    batch_size: int = 4
+    shuffle_train: bool = True
+    num_workers: int = 2
+    train_fraction: float = 0.8
+    # Synthetic dataset (hermetic fixture; reference §2.26 deleted component).
+    synthetic_num_train: int = 800
+    synthetic_num_val: int = 200
+    # Reference quirk (pandaset_dataset.py:124-126): zero-padded points pass the
+    # validity mask and land at the grid centre. Kept for parity, off by default
+    # here because padded points are tagged invalid in the TPU pipeline.
+    pad_points_are_valid: bool = False
+
+
+@dataclass(frozen=True)
+class KDConfig:
+    """Teacher->student distillation loss (north star; no reference analog).
+
+    Feature taps follow the intermediates contract of the reference forward
+    (fusion_module.py:260-262): camera_feat / lidar_feat / pre_fusion /
+    post_fusion / logits.
+    """
+
+    enabled: bool = False
+    temperature: float = 2.0
+    alpha_kl: float = 0.5          # weight on the logit-KL term
+    beta_feature: float = 0.5      # weight on the feature-matching term
+    feature_taps: Tuple[str, ...] = ("camera_feat", "lidar_feat", "post_fusion")
+    teacher_width_mult: float = 2.0
+    teacher_checkpoint: Optional[str] = None
+    use_pallas: bool = False       # fused Pallas KD-loss kernel on TPU
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Optimization + loop (reference: trainer.py:40-74)."""
+
+    lr: float = 1e-3
+    weight_decay: float = 1e-3
+    num_epochs: int = 20
+    eta_min: float = 1e-5
+    class_weights: Optional[Tuple[float, ...]] = (0.4, 3.5)
+    ignore_index: int = -1
+    save_dir: str = "checkpoints/run"
+    seed: int = 0
+    log_every: int = 10
+    metrics_num_classes: int = 2   # reference quirk: hard-coded 2 (trainer.py:78)
+    kd: KDConfig = field(default_factory=KDConfig)
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh for data-parallel training (no reference analog; the
+    reference is single-device, SURVEY.md §2 parallelism note)."""
+
+    data_axis: str = "data"
+    num_devices: Optional[int] = None  # None = all visible devices
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+    def replace(self, **kw) -> "ExperimentConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Reference experiment presets -------------------------------------------------
+
+def preset_pandaset_weighted() -> ExperimentConfig:
+    """train_pandaset.py:79-163: 3-class weighted run, 30 epochs, concat-256."""
+    return ExperimentConfig(
+        model=ModelConfig(num_classes=3, fusion_type="concat",
+                          fusion_out_channels=256),
+        data=DataConfig(dataset="pandaset"),
+        train=TrainConfig(num_epochs=30,
+                          class_weights=(0.39, 2.61, 33.09),
+                          save_dir="checkpoints/pandaset_weighted"),
+    )
+
+
+def preset_fusion_ablation(fusion_type: str) -> ExperimentConfig:
+    """train_with_fusion_ablation.py:10-66: 2-class, 20 epochs per variant."""
+    out_ch = {"concat": 256, "minimal": 128, "weighted": 128}[fusion_type]
+    return ExperimentConfig(
+        model=ModelConfig(num_classes=2, fusion_type=fusion_type,
+                          fusion_out_channels=out_ch),
+        data=DataConfig(dataset="pandaset"),
+        train=TrainConfig(num_epochs=20, class_weights=(0.4, 3.5),
+                          save_dir=f"checkpoints/fusion_ablation_{fusion_type}"),
+    )

@@ -1,0 +1,22 @@
+"""Model zoo: camera/LiDAR encoders, fusion variants, complete model."""
+
+from lmsu_tpu.models.camera_encoder import TwinLiteEncoder
+from lmsu_tpu.models.fusion import (CameraFPNLite, CompleteSegmentationModel,
+                                    ConcatenationFusion,
+                                    LightweightSegmentationHead,
+                                    MinimalFusion,
+                                    SameResolutionSegmentationHead,
+                                    WeightedFusion)
+from lmsu_tpu.models.lidar_encoder import (LiDAREncoder, SpatialLiDAREncoder,
+                                           create_test_point_cloud)
+from lmsu_tpu.models.factory import (count_parameters, create_model,
+                                     get_architecture_summary, init_model)
+
+__all__ = [
+    "TwinLiteEncoder", "LiDAREncoder", "SpatialLiDAREncoder",
+    "create_test_point_cloud", "CameraFPNLite", "CompleteSegmentationModel",
+    "ConcatenationFusion", "MinimalFusion", "WeightedFusion",
+    "LightweightSegmentationHead", "SameResolutionSegmentationHead",
+    "count_parameters", "create_model", "init_model",
+    "get_architecture_summary",
+]

@@ -1,0 +1,113 @@
+"""BEV scatter-max voxelization (XLA path).
+
+TPU-native replacement for the reference's torch `scatter_reduce_(amax,
+include_self=False)` pillar pooling (reference: lidar_encoder.py:57-99).  The
+semantics to match (reference: test_lidar_encoder.py:210-233 commented spec):
+
+  * each valid point writes its feature vector into its (row, col) BEV cell,
+    cells reduce with max over points;
+  * cells receiving no point are exactly zero;
+  * `include_self=False`: the zero initialization does NOT participate in the
+    max, so all-negative features still land (we emulate with a -inf init and
+    a post-pass that zeroes untouched cells);
+  * out-of-range points are dropped entirely.
+
+Implementation notes (TPU):
+  * one fused `.at[idx].max()` scatter over a flattened [B*H*W, C] grid — XLA
+    lowers this to a single scatter HLO; invalid points get index B*H*W and are
+    dropped via mode="drop";
+  * everything is fixed-shape: validity is a mask, never a boolean gather, so
+    the op jits with no host sync (the torch version's `valid_mask` boolean
+    indexing is a dynamic-shape pattern TPU cannot compile).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def points_to_bev_indices(
+    points_xy: jnp.ndarray,
+    grid_size: Tuple[int, int],
+    pc_range: Tuple[float, float, float, float, float, float],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Map point x/y to flat BEV cell indices.
+
+    Matches the reference coordinate transform (lidar_encoder.py:42-55,69-79):
+    normalize x,y to [0,1] over the range, scale by (W-1)/(H-1), truncate
+    toward zero (torch `.long()`), clamp into the grid; a point is valid iff
+    its normalized coords are within [0, 1].
+
+    Args:
+      points_xy: [..., N, 2] x/y coordinates.
+      grid_size: (H, W).
+      pc_range: (x_min, y_min, z_min, x_max, y_max, z_max).
+
+    Returns:
+      (flat_idx [..., N] int32 in [0, H*W), valid [..., N] bool)
+    """
+    H, W = grid_size
+    x_min, y_min, _, x_max, y_max, _ = pc_range
+    x = points_xy[..., 0]
+    y = points_xy[..., 1]
+    x_norm = (x - x_min) / (x_max - x_min)
+    y_norm = (y - y_min) / (y_max - y_min)
+    valid = (x_norm >= 0) & (x_norm <= 1) & (y_norm >= 0) & (y_norm <= 1)
+    # torch `.long()` truncates toward zero; coords here are >= 0 when valid so
+    # truncation == floor on the valid set, and the clamp handles the rest.
+    col = jnp.clip((x_norm * (W - 1)).astype(jnp.int32), 0, W - 1)
+    row = jnp.clip((y_norm * (H - 1)).astype(jnp.int32), 0, H - 1)
+    return row * W + col, valid
+
+
+def bev_scatter_max(
+    features: jnp.ndarray,
+    flat_idx: jnp.ndarray,
+    valid: jnp.ndarray,
+    grid_size: Tuple[int, int],
+) -> jnp.ndarray:
+    """Max-scatter per-point features into a BEV grid.
+
+    Args:
+      features: [B, N, C] per-point features.
+      flat_idx: [B, N] int32 cell index in [0, H*W).
+      valid:    [B, N] bool.
+      grid_size: (H, W).
+
+    Returns:
+      [B, H, W, C] feature map; untouched cells are exactly 0.
+    """
+    B, N, C = features.shape
+    H, W = grid_size
+    ncells = H * W
+    # Batch offset, then send invalid points to a sentinel index that
+    # mode="drop" discards — fixed shapes, no boolean gather.
+    batch_offsets = (jnp.arange(B, dtype=flat_idx.dtype) * ncells)[:, None]
+    idx = jnp.where(valid, flat_idx + batch_offsets, B * ncells)
+    flat_feats = features.reshape(B * N, C)
+    flat_i = idx.reshape(B * N)
+
+    neg_inf = jnp.asarray(-jnp.inf, dtype=features.dtype)
+    grid = jnp.full((B * ncells, C), neg_inf, dtype=features.dtype)
+    grid = grid.at[flat_i].max(flat_feats, mode="drop")
+    # include_self=False emulation: cells never written stay at the zero init
+    # of the torch output buffer.
+    grid = jnp.where(jnp.isneginf(grid), jnp.zeros((), features.dtype), grid)
+    return grid.reshape(B, H, W, C)
+
+
+def bev_voxelize_max(
+    points: jnp.ndarray,
+    features: jnp.ndarray,
+    grid_size: Tuple[int, int],
+    pc_range: Tuple[float, float, float, float, float, float],
+    point_valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """points [B,N,>=2] + per-point features [B,N,C] -> [B,H,W,C] BEV map."""
+    flat_idx, valid = points_to_bev_indices(points[..., :2], grid_size, pc_range)
+    if point_valid is not None:
+        valid = valid & point_valid
+    return bev_scatter_max(features, flat_idx, valid, grid_size)
