@@ -1,0 +1,157 @@
+"""PandaSet dataset: scene indexing + per-frame decode (host side).
+
+Rebuild of the reference loader (pandaset_dataset.py:48-157) with identical
+on-disk contract and sample semantics:
+
+  * scene layout <root>/<scene>/{camera/front_camera/*.jpg, lidar/*.pkl,
+    annotations/semseg/*.pkl}; a frame is usable only when all three files
+    exist (pandaset_dataset.py:72-99);
+  * image: JPEG -> RGB -> bilinear resize to image_size -> float32/255;
+  * points: pickle DataFrame columns x,y,z,i -> [N,4]; random downsample
+    without replacement above max_points, zero-pad below;
+  * labels: semseg pickle -> 2-class remap -> first-write-wins BEV raster.
+
+Differences (deliberate, TPU-host-pipeline driven):
+  * arrays are NHWC numpy, not CHW torch tensors;
+  * a `point_valid` mask marks zero-padding, so the device pipeline can
+    choose whether padded points participate (the reference treats them as
+    real points at the grid centre, pandaset_dataset.py:124-126 — set
+    DataConfig.pad_points_are_valid=True for that exact behavior);
+  * per-sample RNG is an explicit Generator, seeded per epoch for
+    reproducible downsampling.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from lmsu_tpu.config import DataConfig
+from lmsu_tpu.data.rasterize import rasterize_bev, remap_semantic
+
+
+def list_scenes(root: str) -> List[str]:
+    """Sorted scene directory names under the dataset root."""
+    return sorted(d for d in os.listdir(root)
+                  if os.path.isdir(os.path.join(root, d)))
+
+
+def split_scenes(scenes: Sequence[str],
+                 train_fraction: float = 0.8) -> Tuple[List[str], List[str]]:
+    """Deterministic 80/20 split (reference: train_pandaset.py:84-86)."""
+    n_train = int(len(scenes) * train_fraction)
+    return list(scenes[:n_train]), list(scenes[n_train:])
+
+
+class PandaSetDataset:
+    """2-class BEV segmentation samples from PandaSet scenes."""
+
+    def __init__(self, root: str, scene_ids: Sequence[str],
+                 image_size: Tuple[int, int] = (256, 256),
+                 grid_size: Tuple[int, int] = (64, 64),
+                 max_points: int = 5000,
+                 pc_range: Tuple[float, float, float, float] = (-50, 50, -50, 50),
+                 pad_points_are_valid: bool = False,
+                 seed: int = 0,
+                 verbose: bool = False):
+        self.root = root
+        self.scene_ids = list(scene_ids)
+        self.image_size = image_size
+        self.grid_size = grid_size
+        self.max_points = max_points
+        self.pc_range = pc_range
+        self.pad_points_are_valid = pad_points_are_valid
+        self._rng = np.random.default_rng(seed)
+        self.samples = self._index_scenes(verbose)
+        if verbose:
+            print(f"Indexed {len(self.samples)} valid samples "
+                  f"from {len(self.scene_ids)} scenes")
+
+    def _index_scenes(self, verbose: bool) -> List[Dict[str, str]]:
+        samples = []
+        for sid in self.scene_ids:
+            cam_dir = os.path.join(self.root, sid, "camera", "front_camera")
+            lidar_dir = os.path.join(self.root, sid, "lidar")
+            seg_dir = os.path.join(self.root, sid, "annotations", "semseg")
+            if not (os.path.isdir(cam_dir) and os.path.isdir(lidar_dir)
+                    and os.path.isdir(seg_dir)):
+                continue
+            frames = sorted(f[:-4] for f in os.listdir(cam_dir)
+                            if f.endswith(".jpg"))
+            usable = 0
+            for fid in frames:
+                paths = {
+                    "image": os.path.join(cam_dir, f"{fid}.jpg"),
+                    "lidar": os.path.join(lidar_dir, f"{fid}.pkl"),
+                    "semseg": os.path.join(seg_dir, f"{fid}.pkl"),
+                }
+                if all(os.path.exists(p) for p in paths.values()):
+                    samples.append({"scene": sid, "frame": fid, **paths})
+                    usable += 1
+            if verbose:
+                print(f"Scene {sid}: {usable}/{len(frames)} frames usable")
+        return samples
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def _load_image(self, path: str) -> np.ndarray:
+        from PIL import Image
+        img = Image.open(path).convert("RGB")
+        img = img.resize(self.image_size, Image.BILINEAR)
+        return np.asarray(img, dtype=np.float32) / 255.0  # [H, W, 3]
+
+    def _load_points(self, path: str) -> np.ndarray:
+        import pandas as pd
+        df = pd.read_pickle(path)
+        return np.stack([df[c].to_numpy(dtype=np.float32)
+                         for c in ("x", "y", "z", "i")], axis=1)
+
+    def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        s = self.samples[idx]
+        img = self._load_image(s["image"])
+        pts_full = self._load_points(s["lidar"])
+
+        # Raster labels use the FULL cloud (pre-sampling), like the reference
+        # (pandaset_dataset.py:133 rasterizes x/y before downsampling... note
+        # the reference actually rasterizes the original x,y arrays).
+        import pandas as pd
+        raw_ids = pd.read_pickle(s["semseg"])["class"].to_numpy(dtype=np.int64)
+        ids2 = remap_semantic(raw_ids)
+        bev = rasterize_bev(pts_full[:, 0], pts_full[:, 1], ids2,
+                            grid_size=self.grid_size, pc_range=self.pc_range)
+
+        n = pts_full.shape[0]
+        if n > self.max_points:
+            choice = self._rng.choice(n, self.max_points, replace=False)
+            pts = pts_full[choice]
+            n_valid = self.max_points
+        else:
+            pad = np.zeros((self.max_points - n, 4), np.float32)
+            pts = np.vstack([pts_full, pad])
+            n_valid = n
+        valid = np.arange(self.max_points) < n_valid
+        if self.pad_points_are_valid:
+            valid = np.ones(self.max_points, bool)
+
+        return {
+            "image": img,
+            "points": pts,
+            "point_valid": valid,
+            "segmentation": bev,
+            "sample_token": f"{s['scene']}_{s['frame']}",
+        }
+
+
+def create_pandaset_datasets(config: DataConfig, verbose: bool = False
+                             ) -> Tuple[PandaSetDataset, PandaSetDataset]:
+    scenes = list_scenes(config.root)
+    train_scenes, val_scenes = split_scenes(scenes, config.train_fraction)
+    kw = dict(image_size=config.image_size, grid_size=config.grid_size,
+              max_points=config.max_points, pc_range=config.pc_range,
+              pad_points_are_valid=config.pad_points_are_valid,
+              verbose=verbose)
+    return (PandaSetDataset(config.root, train_scenes, **kw),
+            PandaSetDataset(config.root, val_scenes, **kw))

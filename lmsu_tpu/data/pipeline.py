@@ -1,0 +1,113 @@
+"""Host input pipeline: batching, shuffling, prefetch, device placement.
+
+Replaces the reference's torch DataLoader workers (train_pandaset.py:97,
+num_workers=2) with a thread-prefetched numpy batcher feeding jitted steps.
+
+TPU-first properties:
+  * Fixed shapes always: the final partial batch is padded to batch_size and
+    accompanied by a per-sample `sample_mask` (1 real / 0 pad), so the jitted
+    step never recompiles and loss/metrics stay exact. (The torch reference
+    lets the last batch be ragged — an eager-mode luxury.)
+  * Batches are device_put with a NamedSharding on the data axis, so each
+    chip receives only its shard (parallel/mesh.py).
+  * A background thread overlaps host decode with device compute — on TPU the
+    host pipeline must hide entirely behind the step time.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class Batcher:
+    """Iterates a dataset in shuffled, fixed-shape, padded batches."""
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = False,
+                 seed: int = 0, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(
+                np.random.SeedSequence([self.seed, self._epoch])).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order()
+        B = self.batch_size
+        for start in range(0, len(order), B):
+            chunk = order[start:start + B]
+            if len(chunk) < B and self.drop_last:
+                return
+            n_real = len(chunk)
+            if n_real < B:  # pad by repeating the first sample
+                chunk = np.concatenate([chunk, np.repeat(chunk[:1], B - n_real)])
+            samples = [self.dataset[int(i)] for i in chunk]
+            batch: Dict[str, np.ndarray] = {}
+            for key in samples[0]:
+                if key == "sample_token":
+                    continue
+                batch[key] = np.stack([s[key] for s in samples])
+            batch["sample_mask"] = (np.arange(B) < n_real)
+            batch["segmentation"] = np.where(
+                batch["sample_mask"][:, None, None],
+                batch["segmentation"], -1)  # padded samples -> all-ignored
+            yield batch
+
+
+class PrefetchLoader:
+    """Wraps a Batcher with a daemon producer thread (depth-2 queue)."""
+
+    def __init__(self, batcher: Batcher, prefetch: int = 2):
+        self.batcher = batcher
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return len(self.batcher)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.batcher.set_epoch(epoch)
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def produce():
+            try:
+                for b in self.batcher:
+                    q.put(b)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            yield item
+
+
+def make_loader(dataset, batch_size: int, shuffle: bool, seed: int = 0,
+                drop_last: bool = False, prefetch: int = 2) -> PrefetchLoader:
+    return PrefetchLoader(Batcher(dataset, batch_size, shuffle, seed,
+                                  drop_last), prefetch)

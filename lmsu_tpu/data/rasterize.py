@@ -1,0 +1,54 @@
+"""Label remapping and BEV label rasterization (host-side, vectorized numpy).
+
+Reference semantics (pandaset_dataset.py:13-45) preserved exactly, but
+vectorized — the reference loops per point in Python (rasterize_bev:42-45):
+
+  * remap_semantic: PandaSet raw IDs {6,7,8,9,10,12} -> 1 (drivable), else 0.
+  * rasterize_bev: first-WRITE-wins per cell where writes only happen into
+    cells still holding 0 — for labels in {0,1} this reduces to "cell is 1
+    iff any point labeled 1 lands in it", and for general labels it is
+    first-NONZERO-wins in point order. Both reproduced here.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+# Ground, Road, Lane markings, Stop lines, Other markings, Driveway
+# (reference: pandaset_dataset.py:13).
+DRIVABLE_RAW_IDS = (6, 7, 8, 9, 10, 12)
+
+
+def remap_semantic(raw_ids: np.ndarray) -> np.ndarray:
+    """PandaSet raw class IDs -> {0=background, 1=drivable}."""
+    return np.isin(raw_ids, DRIVABLE_RAW_IDS).astype(np.int64)
+
+
+def rasterize_bev(
+    x: np.ndarray, y: np.ndarray, labels: np.ndarray,
+    grid_size: Tuple[int, int] = (64, 64),
+    pc_range: Tuple[float, float, float, float] = (-50, 50, -50, 50),
+) -> np.ndarray:
+    """Rasterize per-point labels into an [H, W] int64 label grid."""
+    H, W = grid_size
+    x_min, x_max, y_min, y_max = pc_range
+
+    mask = np.zeros((H, W), dtype=np.int64)
+    m = (x >= x_min) & (x <= x_max) & (y >= y_min) & (y <= y_max)
+    x, y, labels = x[m], y[m], labels[m]
+    if x.size == 0:
+        return mask
+
+    col = np.clip(((x - x_min) / (x_max - x_min) * (W - 1)).astype(int), 0, W - 1)
+    row = np.clip(((y - y_min) / (y_max - y_min) * (H - 1)).astype(int), 0, H - 1)
+    flat = row * W + col
+
+    # First-nonzero-wins per cell, in point order: among nonzero-labeled
+    # points, np.unique(return_index) picks the first occurrence per cell.
+    nz = labels != 0
+    if nz.any():
+        cells, first = np.unique(flat[nz], return_index=True)
+        mask.ravel()[cells] = labels[nz][first]
+    return mask

@@ -1,0 +1,81 @@
+"""Checkpointing with the reference's latest/best semantics.
+
+Reference contract (trainer.py:116-142): every epoch write `latest`, and
+`best` whenever val mIoU improves; a checkpoint restores model, optimizer and
+scheduler state plus the epoch counter and best mIoU.  Run directories are
+named (checkpoints/pandaset_weighted, checkpoints/fusion_ablation_<type>).
+
+Format here is flax msgpack (single self-contained file per checkpoint) —
+the TPU-host-friendly analog of the torch pickle.  The scheduler needs no
+state: it is a pure function of the step counter inside opt_state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+LATEST = "latest.ckpt"
+BEST = "best.ckpt"
+
+
+def save_checkpoint(save_dir: str, state_dict: Dict[str, Any], epoch: int,
+                    val_miou: float, is_best: bool = False) -> None:
+    os.makedirs(save_dir, exist_ok=True)
+    payload = dict(state_dict)
+    payload["epoch"] = np.int64(epoch)
+    payload["val_miou"] = np.float64(val_miou)
+    data = serialization.to_bytes(payload)
+    _atomic_write(os.path.join(save_dir, LATEST), data)
+    if is_best:
+        _atomic_write(os.path.join(save_dir, BEST), data)
+
+
+def _atomic_write(path: str, data: bytes) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+    """Restore a checkpoint into the structure of `template` (a state dict
+    with the same pytree layout, e.g. from a freshly initialized trainer).
+    Returns the template's structure plus 'epoch' and 'val_miou' leaves."""
+    with open(path, "rb") as f:
+        data = f.read()
+    tpl = dict(template)
+    tpl.setdefault("epoch", np.int64(0))
+    tpl.setdefault("val_miou", np.float64(0.0))
+    return serialization.from_bytes(tpl, data)
+
+
+class HistoryWriter:
+    """training_history.json with the exact reference schema
+    (trainer.py:67-74,144-152): lists under train_loss / train_miou /
+    val_loss / val_miou / lr, file rewritten whole each epoch."""
+
+    KEYS = ("train_loss", "train_miou", "val_loss", "val_miou", "lr")
+
+    def __init__(self, save_dir: str):
+        os.makedirs(save_dir, exist_ok=True)
+        self.path = os.path.join(save_dir, "training_history.json")
+        self.history = {k: [] for k in self.KEYS}
+
+    def append(self, train_loss: float, train_miou: float, val_loss: float,
+               val_miou: float, lr: float) -> None:
+        for k, v in zip(self.KEYS,
+                        (train_loss, train_miou, val_loss, val_miou, lr)):
+            self.history[k].append(float(v))
+        with open(self.path, "w") as f:
+            json.dump(self.history, f, indent=2)
+
+    def load(self) -> None:
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self.history = json.load(f)

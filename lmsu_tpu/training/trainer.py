@@ -1,0 +1,213 @@
+"""Training runtime: jitted data-parallel train/eval steps + epoch loop.
+
+Rebuild of the reference Trainer (trainer.py:40-194) as a functional TPU
+pipeline:
+
+  * one jitted train step = forward + weighted CE + backward + AdamW update
+    + confusion-matrix accumulation, compiled once over the device mesh;
+  * batches arrive sharded on the data axis (parallel/mesh.py); XLA emits the
+    gradient all-reduce over ICI — data parallelism with zero hand-written
+    communication;
+  * metrics ride the device (ops/metrics.py) instead of the reference's
+    per-pixel host loop (trainer.py:18-26);
+  * AdamW + epoch-stepped cosine LR, weighted CE with ignore_index=-1,
+    best-mIoU tracking, latest/best checkpoints, training_history.json with
+    the reference schema — semantics preserved end to end.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from lmsu_tpu.config import ExperimentConfig
+from lmsu_tpu.models import create_model, init_model
+from lmsu_tpu.ops.losses import weighted_cross_entropy
+from lmsu_tpu.ops.metrics import confusion_matrix, iou_from_confusion
+from lmsu_tpu.parallel.mesh import (data_sharding, make_mesh, replicate,
+                                    replicated_sharding, shard_batch)
+from lmsu_tpu.training import checkpoint as ckpt
+from lmsu_tpu.training.schedule import cosine_epoch_schedule, lr_at_epoch
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(config, steps_per_epoch: int) -> optax.GradientTransformation:
+    """AdamW over ALL params (the reference decays BN affine too —
+    trainer.py:56 passes model.parameters() undifferentiated)."""
+    schedule = cosine_epoch_schedule(config.lr, config.eta_min,
+                                     config.num_epochs, steps_per_epoch)
+    return optax.adamw(schedule, weight_decay=config.weight_decay)
+
+
+class Trainer:
+    """Epoch-loop orchestrator with the reference's external contract."""
+
+    def __init__(self, config: ExperimentConfig, train_loader, val_loader,
+                 mesh=None, model=None):
+        self.config = config
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.mesh = mesh if mesh is not None else make_mesh(config.mesh)
+        self.model = model if model is not None else create_model(config.model)
+
+        tc = config.train
+        self.steps_per_epoch = max(1, len(train_loader))
+        self.tx = make_optimizer(tc, self.steps_per_epoch)
+
+        rng = jax.random.PRNGKey(tc.seed)
+        variables = init_model(
+            self.model, rng, image_size=config.data.image_size,
+            num_points=config.data.max_points)
+        state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=self.tx.init(variables["params"]))
+        self.state = replicate(state, self.mesh)
+
+        self.class_weights = (jnp.asarray(tc.class_weights, jnp.float32)
+                              if tc.class_weights is not None else None)
+        self.best_miou = 0.0
+        self.save_dir = tc.save_dir
+        self.history = ckpt.HistoryWriter(self.save_dir)
+        self._build_steps()
+
+    # -- jitted steps ------------------------------------------------------
+
+    def _loss_and_metrics(self, params, batch_stats, batch, train: bool):
+        variables = {"params": params, "batch_stats": batch_stats}
+        kwargs = dict(train=train)
+        if "point_valid" in batch:
+            kwargs["point_valid"] = batch["point_valid"]
+        if train:
+            logits, mut = self.model.apply(
+                variables, batch["image"], batch["points"],
+                mutable=["batch_stats"], **kwargs)
+            new_stats = mut["batch_stats"]
+        else:
+            logits = self.model.apply(variables, batch["image"],
+                                      batch["points"], **kwargs)
+            new_stats = batch_stats
+        loss = weighted_cross_entropy(
+            logits, batch["segmentation"], self.class_weights,
+            self.config.train.ignore_index)
+        cm = confusion_matrix(logits, batch["segmentation"],
+                              self.config.train.metrics_num_classes,
+                              self.config.train.ignore_index)
+        return loss, (logits, new_stats, cm)
+
+    def _build_steps(self) -> None:
+        rep = replicated_sharding(self.mesh)
+        dsh = data_sharding(self.mesh)
+
+        def train_step(state: TrainState, batch):
+            def loss_fn(params):
+                return self._loss_and_metrics(params, state.batch_stats,
+                                              batch, train=True)
+            (loss, (_, new_stats, cm)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(step=state.step + 1, params=params,
+                                      batch_stats=new_stats,
+                                      opt_state=opt_state)
+            return new_state, loss, cm
+
+        def eval_step(state: TrainState, batch):
+            loss, (_, _, cm) = self._loss_and_metrics(
+                state.params, state.batch_stats, batch, train=False)
+            return loss, cm
+
+        self.train_step = jax.jit(train_step, in_shardings=(rep, dsh),
+                                  out_shardings=(rep, rep, rep), donate_argnums=0)
+        self.eval_step = jax.jit(eval_step, in_shardings=(rep, dsh),
+                                 out_shardings=(rep, rep))
+
+    # -- epoch loops -------------------------------------------------------
+
+    def _run_epoch(self, loader, train: bool) -> Tuple[float, Dict]:
+        total_loss, n_batches = 0.0, 0
+        cm_total = np.zeros((self.config.train.metrics_num_classes,) * 2,
+                            np.int64)
+        for batch in loader:
+            batch = shard_batch(batch, self.mesh)
+            if train:
+                self.state, loss, cm = self.train_step(self.state, batch)
+            else:
+                loss, cm = self.eval_step(self.state, batch)
+            total_loss += float(loss)
+            cm_total += np.asarray(cm, np.int64)
+            n_batches += 1
+        metrics = iou_from_confusion(cm_total)
+        return total_loss / max(n_batches, 1), metrics
+
+    def train_epoch(self) -> Tuple[float, Dict]:
+        return self._run_epoch(self.train_loader, train=True)
+
+    def validate(self) -> Tuple[float, Dict]:
+        return self._run_epoch(self.val_loader, train=False)
+
+    # -- checkpointing (reference: trainer.py:116-142) ---------------------
+
+    def _state_dict(self) -> Dict[str, Any]:
+        return {"state": jax.device_get(self.state)}
+
+    def save_checkpoint(self, epoch: int, val_miou: float,
+                        is_best: bool = False) -> None:
+        ckpt.save_checkpoint(self.save_dir, self._state_dict(), epoch,
+                             val_miou, is_best)
+
+    def load_checkpoint(self, path: str) -> int:
+        restored = ckpt.load_checkpoint(path, self._state_dict())
+        self.state = replicate(restored["state"], self.mesh)
+        self.best_miou = float(restored["val_miou"])
+        start_epoch = int(restored["epoch"]) + 1
+        print(f"Resumed from {path}, starting at epoch {start_epoch}, "
+              f"best mIoU {self.best_miou:.4f}")
+        return start_epoch
+
+    # -- main loop (reference: trainer.py:154-194) -------------------------
+
+    def train(self, start_epoch: int = 0, log=print) -> float:
+        tc = self.config.train
+        log(f"\nStarting training from epoch {start_epoch + 1}/{tc.num_epochs}")
+        for epoch in range(start_epoch, tc.num_epochs):
+            if hasattr(self.train_loader, "set_epoch"):
+                self.train_loader.set_epoch(epoch)
+            t0 = time.perf_counter()
+            train_loss, train_metrics = self.train_epoch()
+            val_loss, val_metrics = self.validate()
+            dt = time.perf_counter() - t0
+            # LR the *next* epoch will use mirrors torch's post-step read
+            # (trainer.py:166-167: scheduler.step() then read param_groups).
+            current_lr = lr_at_epoch(tc.lr, tc.eta_min, tc.num_epochs,
+                                     epoch + 1)
+            train_miou = train_metrics["miou"]
+            val_miou = val_metrics["miou"]
+            log(f"Epoch {epoch + 1}/{tc.num_epochs} [{dt:.1f}s] "
+                f"train loss {train_loss:.4f} mIoU {train_miou:.4f} | "
+                f"val loss {val_loss:.4f} mIoU {val_miou:.4f} | "
+                f"class IoU {['%.4f' % v for v in val_metrics['class_iou']]}")
+            self.history.append(train_loss, train_miou, val_loss, val_miou,
+                                current_lr)
+            is_best = val_miou > self.best_miou
+            if is_best:
+                self.best_miou = val_miou
+                log(f"  New best mIoU: {val_miou:.4f}")
+            self.save_checkpoint(epoch, val_miou, is_best=is_best)
+        log(f"Training completed! Best validation mIoU: {self.best_miou:.4f}")
+        return self.best_miou

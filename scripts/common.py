@@ -1,0 +1,76 @@
+"""Shared CLI plumbing for the entry-point scripts."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+sys.path.insert(0, ".")  # run from repo root without installation
+
+from lmsu_tpu.config import ExperimentConfig
+from lmsu_tpu.data import create_datasets, make_loader
+from lmsu_tpu.parallel.mesh import make_mesh
+
+
+def add_common_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--data-root", default=None,
+                   help="PandaSet root (scene dirs); default per config")
+    p.add_argument("--dataset", default=None,
+                   choices=["pandaset", "synthetic"])
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--epochs", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--save-dir", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--num-train", type=int, default=None,
+                   help="synthetic dataset: #train samples")
+    p.add_argument("--num-val", type=int, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <save_dir>/latest.ckpt if present")
+    p.add_argument("--num-workers", type=int, default=None, help="unused; "
+                   "kept for reference CLI familiarity (prefetch is threaded)")
+
+
+def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
+    data_kw, train_kw = {}, {}
+    if args.data_root is not None:
+        data_kw["root"] = args.data_root
+    if args.dataset is not None:
+        data_kw["dataset"] = args.dataset
+    if args.batch_size is not None:
+        data_kw["batch_size"] = args.batch_size
+    if args.num_train is not None:
+        data_kw["synthetic_num_train"] = args.num_train
+    if args.num_val is not None:
+        data_kw["synthetic_num_val"] = args.num_val
+    if args.epochs is not None:
+        train_kw["num_epochs"] = args.epochs
+    if args.lr is not None:
+        train_kw["lr"] = args.lr
+    if args.save_dir is not None:
+        train_kw["save_dir"] = args.save_dir
+    if args.seed is not None:
+        train_kw["seed"] = args.seed
+    return cfg.replace(
+        data=dataclasses.replace(cfg.data, **data_kw),
+        train=dataclasses.replace(cfg.train, **train_kw))
+
+
+def build_loaders(cfg: ExperimentConfig, verbose: bool = True):
+    train_ds, val_ds = create_datasets(cfg.data, verbose=verbose) \
+        if cfg.data.dataset == "pandaset" else create_datasets(cfg.data)
+    train_loader = make_loader(train_ds, cfg.data.batch_size, shuffle=True,
+                               seed=cfg.train.seed)
+    val_loader = make_loader(val_ds, cfg.data.batch_size, shuffle=False)
+    print(f"Dataset: {cfg.data.dataset} — {len(train_ds)} train / "
+          f"{len(val_ds)} val samples")
+    return train_loader, val_loader
+
+
+def maybe_resume(trainer, cfg: ExperimentConfig, resume: bool) -> int:
+    import os
+    latest = os.path.join(cfg.train.save_dir, "latest.ckpt")
+    if resume and os.path.exists(latest):
+        return trainer.load_checkpoint(latest)
+    return 0

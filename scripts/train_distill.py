@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Teacher->student knowledge-distillation training — the flagship run.
+
+The capability the reference names itself after but never implements
+(SURVEY.md §0). Two phases:
+  1. (optional, --train-teacher) train the 2x-wide teacher to convergence;
+  2. distill into the standard student: CE + logit KL + feature matching on
+     the camera_feat/lidar_feat/post_fusion taps.
+"""
+
+import argparse
+import dataclasses
+import sys
+
+sys.path.insert(0, ".")
+
+from scripts.common import (add_common_args, apply_overrides, build_loaders,
+                            maybe_resume)
+
+from lmsu_tpu.config import (ExperimentConfig, KDConfig, ModelConfig,
+                             TrainConfig, teacher_config)
+from lmsu_tpu.training import DistillationTrainer, Trainer
+
+
+def main(argv=None) -> float:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--teacher-checkpoint", default=None,
+                   help="trained teacher .ckpt (else random teacher)")
+    p.add_argument("--train-teacher", action="store_true",
+                   help="train the teacher first, then distill")
+    p.add_argument("--teacher-epochs", type=int, default=None)
+    p.add_argument("--temperature", type=float, default=2.0)
+    p.add_argument("--alpha-kl", type=float, default=0.5)
+    p.add_argument("--beta-feature", type=float, default=0.5)
+    p.add_argument("--teacher-width", type=float, default=2.0)
+    p.add_argument("--use-pallas-kd", action="store_true")
+    args = p.parse_args(argv)
+
+    kd = KDConfig(enabled=True, temperature=args.temperature,
+                  alpha_kl=args.alpha_kl, beta_feature=args.beta_feature,
+                  teacher_width_mult=args.teacher_width,
+                  teacher_checkpoint=args.teacher_checkpoint,
+                  use_pallas=args.use_pallas_kd)
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=2, fusion_type="weighted",
+                          fusion_out_channels=128),
+        train=TrainConfig(num_epochs=20, class_weights=(0.4, 3.5),
+                          save_dir="checkpoints/distill_student", kd=kd))
+    cfg = apply_overrides(cfg, args)
+    cfg = cfg.replace(train=dataclasses.replace(cfg.train, kd=kd))
+
+    teacher_vars = None
+    if args.train_teacher:
+        tcfg_model = teacher_config(cfg.model, args.teacher_width)
+        tcfg = cfg.replace(
+            model=tcfg_model,
+            train=dataclasses.replace(
+                cfg.train, kd=KDConfig(enabled=False),
+                num_epochs=args.teacher_epochs or cfg.train.num_epochs,
+                save_dir=cfg.train.save_dir + "_teacher"))
+        print("=== Phase 1: training teacher ===")
+        tl, vl = build_loaders(tcfg)
+        t_trainer = Trainer(tcfg, tl, vl)
+        t_best = t_trainer.train()
+        print(f"Teacher best mIoU: {t_best:.4f}")
+        import jax
+        state = jax.device_get(t_trainer.state)
+        teacher_vars = {"params": state.params,
+                        "batch_stats": state.batch_stats}
+
+    print("=== Distilling student ===")
+    train_loader, val_loader = build_loaders(cfg)
+    trainer = DistillationTrainer(cfg, train_loader, val_loader,
+                                  teacher_variables=teacher_vars)
+    start_epoch = maybe_resume(trainer, cfg, args.resume)
+    best = trainer.train(start_epoch)
+    print(f"Student best val mIoU: {best:.4f}")
+    if trainer.last_loss_parts:
+        print("Final loss parts:", trainer.last_loss_parts)
+    return best
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,147 @@
+"""Data pipeline tests: rasterization semantics, synthetic dataset, batching."""
+
+import numpy as np
+import pytest
+
+from lmsu_tpu.config import DataConfig
+from lmsu_tpu.data import (Batcher, SyntheticMultiModalDataset,
+                           create_datasets, make_loader, rasterize_bev,
+                           remap_semantic, split_scenes)
+
+
+class TestRemap:
+    def test_drivable_ids(self):
+        raw = np.array([0, 5, 6, 7, 8, 9, 10, 11, 12, 13])
+        out = remap_semantic(raw)
+        np.testing.assert_array_equal(out, [0, 0, 1, 1, 1, 1, 1, 0, 1, 0])
+        assert out.dtype == np.int64
+
+
+class TestRasterize:
+    def _oracle(self, x, y, labels, grid=(8, 8), rng=(-50, 50, -50, 50)):
+        """Literal per-point re-statement of the reference loop
+        (pandaset_dataset.py:23-45)."""
+        H, W = grid
+        x_min, x_max, y_min, y_max = rng
+        mask = np.zeros((H, W), np.int64)
+        m = (x >= x_min) & (x <= x_max) & (y >= y_min) & (y <= y_max)
+        x, y, labels = x[m], y[m], labels[m]
+        col = np.clip(((x - x_min) / (x_max - x_min) * (W - 1)).astype(int), 0, W - 1)
+        row = np.clip(((y - y_min) / (y_max - y_min) * (H - 1)).astype(int), 0, H - 1)
+        for r, c, lab in zip(row, col, labels):
+            if mask[r, c] == 0:
+                mask[r, c] = lab
+        return mask
+
+    def test_matches_reference_loop_2class(self, rng):
+        x = rng.uniform(-60, 60, 500).astype(np.float32)
+        y = rng.uniform(-60, 60, 500).astype(np.float32)
+        labels = rng.integers(0, 2, 500).astype(np.int64)
+        np.testing.assert_array_equal(
+            rasterize_bev(x, y, labels, (8, 8)),
+            self._oracle(x, y, labels))
+
+    def test_matches_reference_loop_multiclass_first_nonzero_wins(self, rng):
+        x = rng.uniform(-50, 50, 300).astype(np.float32)
+        y = rng.uniform(-50, 50, 300).astype(np.float32)
+        labels = rng.integers(0, 4, 300).astype(np.int64)
+        np.testing.assert_array_equal(
+            rasterize_bev(x, y, labels, (4, 4)),
+            self._oracle(x, y, labels, grid=(4, 4)))
+
+    def test_empty_input(self):
+        out = rasterize_bev(np.array([]), np.array([]),
+                            np.array([], dtype=np.int64), (8, 8))
+        assert out.shape == (8, 8) and out.sum() == 0
+
+    def test_all_out_of_range(self):
+        out = rasterize_bev(np.array([99.0]), np.array([99.0]),
+                            np.array([1]), (8, 8))
+        assert out.sum() == 0
+
+
+class TestSynthetic:
+    def test_item_contract_and_shapes(self):
+        ds = SyntheticMultiModalDataset(num_samples=4, image_size=(64, 64),
+                                        grid_size=(16, 16), max_points=500)
+        item = ds[0]
+        assert item["image"].shape == (64, 64, 3)
+        assert item["image"].dtype == np.float32
+        assert 0.0 <= item["image"].min() and item["image"].max() <= 1.0
+        assert item["points"].shape == (500, 4)
+        assert item["segmentation"].shape == (16, 16)
+        assert set(np.unique(item["segmentation"])) <= {0, 1}
+        assert item["sample_token"] == "synthetic_000000"
+
+    def test_deterministic_per_index(self):
+        ds = SyntheticMultiModalDataset(num_samples=2, image_size=(32, 32),
+                                        grid_size=(8, 8), max_points=100)
+        a, b = ds[1], ds[1]
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["points"], b["points"])
+        c = ds[0]
+        assert not np.array_equal(a["image"], c["image"])
+
+    def test_lidar_road_correlation(self):
+        """Road cells must receive more points — the learnability contract."""
+        ds = SyntheticMultiModalDataset(num_samples=1, image_size=(32, 32),
+                                        grid_size=(16, 16), max_points=2000)
+        item = ds[0]
+        pts, seg = item["points"], item["segmentation"]
+        col = np.clip(((pts[:, 0] + 50) / 100 * 15).astype(int), 0, 15)
+        row = np.clip(((pts[:, 1] + 50) / 100 * 15).astype(int), 0, 15)
+        in_range = (np.abs(pts[:, 0]) <= 50) & (np.abs(pts[:, 1]) <= 50)
+        on_road = seg[row[in_range], col[in_range]] > 0
+        assert on_road.mean() > 0.5
+
+
+class TestBatcher:
+    def _ds(self, n):
+        return SyntheticMultiModalDataset(num_samples=n, image_size=(16, 16),
+                                          grid_size=(8, 8), max_points=50)
+
+    def test_fixed_shapes_with_padding(self):
+        batches = list(Batcher(self._ds(5), batch_size=4))
+        assert len(batches) == 2
+        for b in batches:
+            assert b["image"].shape == (4, 16, 16, 3)
+            assert b["sample_mask"].shape == (4,)
+        assert batches[1]["sample_mask"].tolist() == [True, False, False, False]
+        # padded samples are all-ignored in the labels
+        assert (batches[1]["segmentation"][1:] == -1).all()
+
+    def test_shuffle_is_seeded_and_epoch_dependent(self):
+        ds = self._ds(8)
+        b = Batcher(ds, 4, shuffle=True, seed=3)
+        e0 = [x["segmentation"].sum() for x in b]
+        b.set_epoch(0)
+        e0b = [x["segmentation"].sum() for x in b]
+        assert e0 == e0b
+        b.set_epoch(1)
+        e1 = [x["segmentation"].sum() for x in b]
+        assert e0 != e1
+
+    def test_prefetch_loader_yields_same(self):
+        ds = self._ds(6)
+        direct = list(Batcher(ds, 2))
+        prefetched = list(make_loader(ds, 2, shuffle=False))
+        assert len(direct) == len(prefetched)
+        for a, b in zip(direct, prefetched):
+            np.testing.assert_array_equal(a["image"], b["image"])
+
+
+class TestFactory:
+    def test_synthetic_factory(self):
+        cfg = DataConfig(dataset="synthetic", synthetic_num_train=6,
+                         synthetic_num_val=2, image_size=(16, 16),
+                         grid_size=(8, 8), max_points=50)
+        train, val = create_datasets(cfg)
+        assert len(train) == 6 and len(val) == 2
+
+    def test_unknown_dataset_raises(self):
+        with pytest.raises(ValueError, match="Unknown dataset"):
+            create_datasets(DataConfig(dataset="bogus"))
+
+    def test_split_scenes(self):
+        tr, va = split_scenes([f"{i:03d}" for i in range(10)], 0.8)
+        assert len(tr) == 8 and len(va) == 2 and tr[0] == "000"

@@ -1,0 +1,104 @@
+"""Knowledge-distillation tests: teacher config, KD loss behavior, E2E step."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmsu_tpu.config import (CameraEncoderConfig, DataConfig, ExperimentConfig,
+                             KDConfig, LidarEncoderConfig, ModelConfig,
+                             TrainConfig, teacher_config)
+from lmsu_tpu.data import create_datasets, make_loader
+from lmsu_tpu.models import count_parameters, create_model, init_model
+from lmsu_tpu.training.distill import DistillationTrainer, _tap_channels
+
+
+def _tiny_cfg(tmp_path, **kd_kw):
+    kd = KDConfig(enabled=True, feature_taps=("camera_feat", "post_fusion"),
+                  teacher_width_mult=2.0, **kd_kw)
+    return ExperimentConfig(
+        model=ModelConfig(
+            num_classes=2, fusion_type="concat", fusion_out_channels=32,
+            camera_fpn_channels=16,
+            camera=CameraEncoderConfig(base_channels=4),
+            lidar=LidarEncoderConfig(feature_dim=16, mlp_dims=(8, 16),
+                                     grid_size=(8, 8))),
+        data=DataConfig(dataset="synthetic", synthetic_num_train=8,
+                        synthetic_num_val=8, image_size=(32, 32),
+                        grid_size=(8, 8), max_points=128, batch_size=8),
+        train=TrainConfig(num_epochs=1, class_weights=(0.4, 3.5),
+                          save_dir=str(tmp_path / "kd_run"), kd=kd),
+    )
+
+
+class TestTeacherConfig:
+    def test_teacher_is_wider(self):
+        student = ModelConfig()
+        teacher = teacher_config(student, width_mult=2.0)
+        t = create_model(teacher)
+        s = create_model(student)
+        tv = init_model(t, jax.random.PRNGKey(0), image_size=(64, 64),
+                        num_points=100)
+        sv = init_model(s, jax.random.PRNGKey(0), image_size=(64, 64),
+                        num_points=100)
+        assert count_parameters(tv["params"]) > 2 * count_parameters(sv["params"])
+
+    def test_tap_channels(self):
+        cfg = ModelConfig()
+        ch = _tap_channels(None, cfg)
+        assert ch == {"camera_feat": 128, "lidar_feat": 128,
+                      "pre_fusion": 256, "post_fusion": 256, "logits": 2}
+
+
+class TestDistillationE2E:
+    def test_kd_train_epoch_learns_and_tracks_parts(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path)
+        train_ds, val_ds = create_datasets(cfg.data)
+        trainer = DistillationTrainer(
+            cfg, make_loader(train_ds, 8, shuffle=True),
+            make_loader(val_ds, 8, shuffle=False))
+        loss0, _ = trainer.train_epoch()
+        parts = trainer.last_loss_parts
+        assert set(parts) == {"ce", "kl", "feature_mse", "total"}
+        assert parts["kl"] >= 0 and parts["feature_mse"] >= 0
+        assert parts["total"] == pytest.approx(
+            parts["ce"] + cfg.train.kd.alpha_kl * parts["kl"]
+            + cfg.train.kd.beta_feature * parts["feature_mse"], rel=1e-4)
+        loss1, _ = trainer.train_epoch()
+        assert loss1 < loss0  # distillation loss decreases
+
+    def test_projections_receive_gradients(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path)
+        train_ds, val_ds = create_datasets(cfg.data)
+        trainer = DistillationTrainer(
+            cfg, make_loader(train_ds, 8, shuffle=True),
+            make_loader(val_ds, 8, shuffle=False))
+        proj_before = jax.device_get(trainer.state.params["proj"])
+        trainer.train_epoch()
+        proj_after = jax.device_get(trainer.state.params["proj"])
+        for tap in cfg.train.kd.feature_taps:
+            assert not np.allclose(proj_before[tap], proj_after[tap])
+
+    def test_teacher_is_frozen(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path)
+        train_ds, val_ds = create_datasets(cfg.data)
+        trainer = DistillationTrainer(
+            cfg, make_loader(train_ds, 8, shuffle=True),
+            make_loader(val_ds, 8, shuffle=False))
+        t_before = jax.device_get(trainer.teacher_variables)
+        trainer.train_epoch()
+        t_after = jax.device_get(trainer.teacher_variables)
+        jax.tree_util.tree_map(np.testing.assert_array_equal, t_before,
+                               t_after)
+
+    def test_eval_uses_student_only(self, tmp_path):
+        cfg = _tiny_cfg(tmp_path)
+        train_ds, val_ds = create_datasets(cfg.data)
+        trainer = DistillationTrainer(
+            cfg, make_loader(train_ds, 8, shuffle=True),
+            make_loader(val_ds, 8, shuffle=False))
+        loss, metrics = trainer.validate()
+        assert np.isfinite(loss)
+        assert 0.0 <= metrics["miou"] <= 1.0

@@ -1,0 +1,179 @@
+"""Model tests: shapes, parameter parity, gradient flow, edge cases.
+
+Mirrors the reference's smoke-test intent (test_camera_encoder.py,
+test_lidar_encoder.py, test_fusion_module.py) as a real pytest suite
+(SURVEY.md §4 implications).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmsu_tpu.config import (CameraEncoderConfig, LidarEncoderConfig,
+                             ModelConfig)
+from lmsu_tpu.models import (CompleteSegmentationModel, LiDAREncoder,
+                             TwinLiteEncoder, count_parameters, create_model,
+                             get_architecture_summary, init_model)
+from lmsu_tpu.ops import weighted_cross_entropy
+
+
+class TestCameraEncoder:
+    @pytest.mark.parametrize("hw", [(64, 64), (128, 128)])
+    def test_multiscale_shapes(self, hw):
+        cfg = CameraEncoderConfig(base_channels=8, return_multiscale=True)
+        enc = TwinLiteEncoder(cfg)
+        x = jnp.zeros((2, *hw, 3))
+        v = enc.init(jax.random.PRNGKey(0), x)
+        out = enc.apply(v, x)
+        H, W = hw
+        assert out["stage2"].shape == (2, H // 4, W // 4, 16)
+        assert out["stage3"].shape == (2, H // 4, W // 4, 16)
+        assert out["stage4"].shape == (2, H // 8, W // 8, 32)
+        assert out["stage5"].shape == (2, H // 8, W // 8, 32)
+
+    def test_single_scale(self):
+        cfg = CameraEncoderConfig(base_channels=8, return_multiscale=False)
+        enc = TwinLiteEncoder(cfg)
+        x = jnp.zeros((1, 64, 64, 3))
+        v = enc.init(jax.random.PRNGKey(0), x)
+        assert enc.apply(v, x).shape == (1, 8, 8, 32)
+
+    def test_reference_param_count(self):
+        # reference: 363,520 camera params (architecture.html, SURVEY.md §2).
+        enc = TwinLiteEncoder(CameraEncoderConfig())
+        v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        assert count_parameters(v["params"]) == 363_520
+
+
+class TestLidarEncoder:
+    def test_output_shape_and_zero_empty_cells(self, rng):
+        cfg = LidarEncoderConfig(feature_dim=32, mlp_dims=(16, 32),
+                                 grid_size=(16, 16))
+        enc = LiDAREncoder(cfg)
+        pts = jnp.asarray(rng.normal(0, 30, (2, 500, 4)).astype(np.float32))
+        v = enc.init(jax.random.PRNGKey(0), pts)
+        out = enc.apply(v, pts)
+        assert out.shape == (2, 16, 16, 32)
+        # Post-ReLU features are >= 0 and empty cells are exactly 0.
+        assert float(out.min()) >= 0.0
+
+    def test_all_out_of_range_gives_zero_map(self):
+        cfg = LidarEncoderConfig(feature_dim=8, mlp_dims=(8,), grid_size=(8, 8))
+        enc = LiDAREncoder(cfg)
+        pts = jnp.full((1, 100, 4), 500.0)
+        v = enc.init(jax.random.PRNGKey(0), pts)
+        assert float(jnp.abs(enc.apply(v, pts)).max()) == 0.0
+
+    def test_point_valid_mask_gates_scatter(self, rng):
+        cfg = LidarEncoderConfig(feature_dim=8, mlp_dims=(8,), grid_size=(8, 8))
+        enc = LiDAREncoder(cfg)
+        pts = jnp.asarray(rng.normal(0, 20, (1, 100, 4)).astype(np.float32))
+        v = enc.init(jax.random.PRNGKey(0), pts)
+        none_valid = enc.apply(v, pts, point_valid=jnp.zeros((1, 100), bool))
+        assert float(jnp.abs(none_valid).max()) == 0.0
+
+    def test_reference_param_count(self):
+        # reference: 25,792 LiDAR params.
+        enc = LiDAREncoder(LidarEncoderConfig())
+        v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 4)))
+        assert count_parameters(v["params"]) == 25_792
+
+    def test_bad_encoder_type_raises(self):
+        enc = LiDAREncoder(LidarEncoderConfig(encoder_type="bogus"))
+        with pytest.raises(ValueError, match="Unknown encoder type"):
+            enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 4)))
+
+
+class TestCompleteModel:
+    @pytest.mark.parametrize("fusion_type,out_ch,expected", [
+        ("concat", 256, 573_442),
+        ("minimal", 128, 494_978),
+        ("weighted", 128, 528_132),
+    ])
+    def test_reference_param_counts(self, fusion_type, out_ch, expected):
+        """Exact parameter parity with fusion_ablation_results.json."""
+        cfg = ModelConfig(num_classes=2, fusion_type=fusion_type,
+                          fusion_out_channels=out_ch)
+        m = create_model(cfg)
+        v = init_model(m, jax.random.PRNGKey(0))
+        assert count_parameters(v["params"]) == expected
+
+    def test_architecture_summary_split(self):
+        # reference: cam 363,520 / LiDAR 25,792 / fusion 161,920 / head 22,210.
+        m = create_model(ModelConfig())
+        v = init_model(m, jax.random.PRNGKey(0))
+        s = get_architecture_summary(m, v)
+        assert s["camera_params"] == "363,520"
+        assert s["lidar_params"] == "25,792"
+        assert s["fusion_params"] == "161,920"
+        assert s["head_params"] == "22,210"
+
+    @pytest.mark.parametrize("fusion_type", ["concat", "minimal", "weighted"])
+    def test_forward_and_intermediates(self, small_model_config, sample_batch,
+                                       fusion_type):
+        cfg = dataclasses.replace(
+            small_model_config, fusion_type=fusion_type,
+            fusion_out_channels=64 if fusion_type == "concat" else 32)
+        m = create_model(cfg)
+        v = init_model(m, jax.random.PRNGKey(0), image_size=(64, 64),
+                       num_points=1000)
+        logits, inter = m.apply(v, sample_batch["image"],
+                                sample_batch["points"],
+                                return_intermediates=True)
+        B = sample_batch["image"].shape[0]
+        assert logits.shape == (B, 16, 16, 2)
+        assert inter["camera_feat"].shape == (B, 16, 16, 32)
+        assert inter["lidar_feat"].shape == (B, 16, 16, 32)
+        assert inter["post_fusion"].shape[-1] == (
+            64 if fusion_type == "concat" else 32)
+        if fusion_type == "concat":
+            assert inter["pre_fusion"].shape[-1] == 64  # cam 32 + lidar 32
+        assert bool(jnp.isfinite(logits).all())
+
+    def test_x4_head_upsamples(self, small_model_config, sample_batch):
+        cfg = dataclasses.replace(small_model_config, output_mode="x4")
+        m = create_model(cfg)
+        v = init_model(m, jax.random.PRNGKey(0), image_size=(64, 64),
+                       num_points=1000)
+        logits = m.apply(v, sample_batch["image"], sample_batch["points"])
+        assert logits.shape == (2, 64, 64, 2)
+
+    def test_gradient_flow_all_components(self, small_model_config,
+                                          sample_batch):
+        """Every fusion/head/encoder parameter gets a nonzero gradient after
+        one CE backward (reference: test_fusion_module.py:53-64)."""
+        m = create_model(small_model_config)
+        v = init_model(m, jax.random.PRNGKey(0), image_size=(64, 64),
+                       num_points=1000)
+
+        def loss_fn(params):
+            logits, _ = m.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                sample_batch["image"], sample_batch["points"], train=True,
+                mutable=["batch_stats"])
+            return weighted_cross_entropy(logits, sample_batch["segmentation"])
+
+        grads = jax.grad(loss_fn)(v["params"])
+        flat = jax.tree_util.tree_leaves_with_path(grads)
+        zero_grads = [jax.tree_util.keystr(k) for k, g in flat
+                      if float(jnp.abs(g).max()) == 0.0]
+        assert bool(jnp.isfinite(
+            jnp.concatenate([g.ravel() for _, g in flat])).all())
+        # BatchNorm biases immediately before a ReLU can have transient zero
+        # grads; conv kernels must all receive signal.
+        kernel_zeros = [k for k in zero_grads if "kernel" in k]
+        assert kernel_zeros == [], f"dead kernels: {kernel_zeros}"
+
+    def test_train_eval_modes_differ(self, small_model_config, sample_batch):
+        m = create_model(small_model_config)
+        v = init_model(m, jax.random.PRNGKey(2), image_size=(64, 64),
+                       num_points=1000)
+        eval_logits = m.apply(v, sample_batch["image"], sample_batch["points"],
+                              train=False)
+        train_logits, _ = m.apply(v, sample_batch["image"],
+                                  sample_batch["points"], train=True,
+                                  mutable=["batch_stats"])
+        assert not bool(jnp.allclose(eval_logits, train_logits))
