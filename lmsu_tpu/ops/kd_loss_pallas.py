@@ -1,0 +1,154 @@
+"""Pallas TPU kernels for the fused KD loss.
+
+North-star requirement: the teacher->student distillation loss fused into
+Pallas kernels.  Profiling the loss decomposition on the actual shapes:
+
+  * feature matching = a [M, Ct] x [Ct, Cs] projection matmul + squared
+    difference + reduction per tap, M = B*64*64 — the dominant term, MXU +
+    VPU work with perfect 128-lane layout; fused here so the projected
+    teacher feature never round-trips to HBM;
+  * logit CE + KL act on C=2 lanes — sub-1% of the loss FLOPs and a terrible
+    TPU tile shape (2 lanes of 128); they stay in XLA, which fuses them into
+    the head's epilogue anyway.
+
+`kd_total_loss_fused` is a drop-in for ops/losses.py::kd_total_loss
+(equivalence covered by tests/test_pallas.py).
+
+Backward: custom VJP with the analytic gradients
+  dS = 2/M (S - T P)         dP = -2/M T^T (S - T P)
+as dense matmuls in plain jnp (teacher side is stop-gradient by contract).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Mapping, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lmsu_tpu.ops.losses import kd_logit_kl, weighted_cross_entropy
+
+_TILE_M = 512
+
+
+def _feature_mse_kernel(s_ref, t_ref, p_ref, out_ref, acc_ref):
+    """Tile: sum((S - T @ P)^2) accumulated across the grid."""
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        acc_ref[0, 0] = 0.0
+
+    proj = jnp.dot(t_ref[:], p_ref[:], preferred_element_type=jnp.float32)
+    diff = s_ref[:].astype(jnp.float32) - proj
+    acc_ref[0, 0] += jnp.sum(diff * diff)
+
+    @pl.when(i == pl.num_programs(0) - 1)
+    def _():
+        out_ref[0, 0] = acc_ref[0, 0]
+
+
+def _pad_rows(x: jnp.ndarray, tile: int) -> jnp.ndarray:
+    m = x.shape[0]
+    pad = (-m) % tile
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x
+
+
+@jax.custom_vjp
+def fused_feature_mse(student: jnp.ndarray, teacher: jnp.ndarray,
+                      projection: jnp.ndarray) -> jnp.ndarray:
+    """mean((student - teacher @ projection)^2) over all positions.
+
+    student [..., Cs], teacher [..., Ct], projection [Ct, Cs]. Equivalent to
+    ops/losses.py::feature_matching_loss with a projection.
+    """
+    return _mse_forward(student, teacher, projection)
+
+
+def _mse_forward(student, teacher, projection):
+    cs = student.shape[-1]
+    ct = teacher.shape[-1]
+    s = student.reshape(-1, cs).astype(jnp.float32)
+    t = teacher.reshape(-1, ct).astype(jnp.float32)
+    m = s.shape[0]
+    s = _pad_rows(s, _TILE_M)  # zero rows: S-TP = 0-0 = 0, no sum pollution
+    t = _pad_rows(t, _TILE_M)
+    n_tiles = s.shape[0] // _TILE_M
+
+    interpret = jax.default_backend() == "cpu"
+    total = pl.pallas_call(
+        _feature_mse_kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((_TILE_M, cs), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TILE_M, ct), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ct, cs), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
+        interpret=interpret,
+    )(s, t, projection.astype(jnp.float32))
+    denom = m * cs
+    return total[0, 0] / denom
+
+
+def _mse_fwd(student, teacher, projection):
+    loss = _mse_forward(student, teacher, projection)
+    return loss, (student, teacher, projection)
+
+
+def _mse_bwd(residuals, g):
+    student, teacher, projection = residuals
+    cs, ct = student.shape[-1], teacher.shape[-1]
+    s = student.reshape(-1, cs).astype(jnp.float32)
+    t = teacher.reshape(-1, ct).astype(jnp.float32)
+    m = s.shape[0]
+    diff = s - t @ projection.astype(jnp.float32)
+    scale = g * 2.0 / (m * cs)
+    d_s = (scale * diff).reshape(student.shape).astype(student.dtype)
+    d_t = (-(scale * diff) @ projection.T.astype(jnp.float32)).reshape(
+        teacher.shape).astype(teacher.dtype)
+    d_p = (-(t.T @ (scale * diff))).astype(projection.dtype)
+    return d_s, d_t, d_p
+
+
+fused_feature_mse.defvjp(_mse_fwd, _mse_bwd)
+
+
+def kd_total_loss_fused(
+    student_logits: jnp.ndarray,
+    teacher_logits: jnp.ndarray,
+    student_feats: Mapping[str, jnp.ndarray],
+    teacher_feats: Mapping[str, jnp.ndarray],
+    targets: jnp.ndarray,
+    *,
+    class_weights: Optional[jnp.ndarray],
+    ignore_index: int,
+    temperature: float,
+    alpha_kl: float,
+    beta_feature: float,
+    feature_taps: Sequence[str],
+    projections: Mapping[str, jnp.ndarray],
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Drop-in for ops/losses.py::kd_total_loss with Pallas feature matching."""
+    ce = weighted_cross_entropy(student_logits, targets, class_weights,
+                                ignore_index)
+    kl = kd_logit_kl(student_logits, teacher_logits, temperature)
+    if feature_taps:
+        fms = [fused_feature_mse(student_feats[tap], teacher_feats[tap],
+                                 projections[tap]) for tap in feature_taps]
+        fm = jnp.mean(jnp.stack(fms))
+    else:
+        fm = jnp.zeros((), jnp.float32)
+    loss = ce + alpha_kl * kl + beta_feature * fm
+    return loss, {"ce": ce, "kl": kl, "feature_mse": fm, "total": loss}

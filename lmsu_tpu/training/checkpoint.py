@@ -43,6 +43,25 @@ def _atomic_write(path: str, data: bytes) -> None:
     os.replace(tmp, path)
 
 
+def load_checkpoint_raw(path: str) -> Dict[str, Any]:
+    """Restore a checkpoint without a structure template (nested dicts of
+    numpy arrays). Use for model-only consumers (inference, teacher load)
+    that do not carry the optimizer state."""
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def load_model_variables(path: str) -> Dict[str, Any]:
+    """Extract {'params', 'batch_stats'} flax variables from a trainer
+    checkpoint, accepting both plain and KD ({'model','proj'}) layouts."""
+    raw = load_checkpoint_raw(path)
+    state = raw["state"]
+    params = state["params"]
+    if isinstance(params, dict) and set(params) == {"model", "proj"}:
+        params = params["model"]
+    return {"params": params, "batch_stats": state["batch_stats"]}
+
+
 def load_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     """Restore a checkpoint into the structure of `template` (a state dict
     with the same pytree layout, e.g. from a freshly initialized trainer).

@@ -73,17 +73,7 @@ class DistillationTrainer(Trainer):
             return self._teacher_vars_init
         if self.kd.teacher_checkpoint:
             from lmsu_tpu.training import checkpoint as ckptlib
-            rng = jax.random.PRNGKey(self.config.train.seed + 1)
-            template = init_model(self.teacher, rng,
-                                  image_size=self.config.data.image_size,
-                                  num_points=self.config.data.max_points)
-            restored = ckptlib.load_checkpoint(
-                self.kd.teacher_checkpoint,
-                {"state": {"step": np.int32(0), "params": template["params"],
-                           "batch_stats": template["batch_stats"],
-                           "opt_state": ()}})
-            return {"params": restored["state"]["params"],
-                    "batch_stats": restored["state"]["batch_stats"]}
+            return ckptlib.load_model_variables(self.kd.teacher_checkpoint)
         # Fallback: randomly initialized teacher (useful for tests/benches;
         # real runs should pass a trained teacher).
         rng = jax.random.PRNGKey(self.config.train.seed + 1)

@@ -1,0 +1,110 @@
+"""Pallas kernel equivalence tests (interpret mode on the CPU mesh).
+
+Each kernel must match its XLA-path counterpart bit-for-bit (scatter) or to
+float tolerance (matmul-bearing kernels), forward and backward.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lmsu_tpu.ops.kd_loss_pallas import fused_feature_mse, kd_total_loss_fused
+from lmsu_tpu.ops.losses import (feature_matching_loss, kd_total_loss)
+from lmsu_tpu.ops.scatter import bev_scatter_max
+from lmsu_tpu.ops.voxelize_pallas import bev_scatter_max_pallas
+
+
+class TestScatterMaxPallas:
+    def _data(self, rng, B=2, N=300, C=16, HW=(8, 8)):
+        feats = jnp.asarray(rng.normal(0, 1, (B, N, C)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, HW[0] * HW[1], (B, N)).astype(np.int32))
+        valid = jnp.asarray(rng.uniform(size=(B, N)) > 0.3)
+        return feats, idx, valid, HW
+
+    def test_forward_matches_xla(self, rng):
+        feats, idx, valid, HW = self._data(rng)
+        a = bev_scatter_max(feats, idx, valid, HW)
+        b = bev_scatter_max_pallas(feats, idx, valid, HW)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_all_invalid_zero(self, rng):
+        feats = jnp.ones((1, 20, 8))
+        idx = jnp.zeros((1, 20), jnp.int32)
+        out = bev_scatter_max_pallas(feats, idx, jnp.zeros((1, 20), bool),
+                                     (4, 4))
+        assert float(jnp.abs(out).max()) == 0.0
+
+    def test_gradient_matches_xla(self, rng):
+        feats, idx, valid, HW = self._data(rng, B=1, N=100, C=8, HW=(4, 4))
+
+        def loss_xla(f):
+            return jnp.sum(bev_scatter_max(f, idx, valid, HW) ** 2)
+
+        def loss_pl(f):
+            return jnp.sum(bev_scatter_max_pallas(f, idx, valid, HW) ** 2)
+
+        ga = jax.grad(loss_xla)(feats)
+        gb = jax.grad(loss_pl)(feats)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
+
+    def test_jit_under_jit(self, rng):
+        feats, idx, valid, HW = self._data(rng, B=1, N=50, C=8, HW=(4, 4))
+        f = jax.jit(lambda x: bev_scatter_max_pallas(x, idx, valid, HW))
+        np.testing.assert_array_equal(
+            np.asarray(f(feats)),
+            np.asarray(bev_scatter_max(feats, idx, valid, HW)))
+
+
+class TestFusedFeatureMSE:
+    def test_matches_lax_path(self, rng):
+        s = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 32)).astype(np.float32))
+        t = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 64)).astype(np.float32))
+        p = jnp.asarray(rng.normal(0, 0.1, (64, 32)).astype(np.float32))
+        a = feature_matching_loss(s, t, p)
+        b = fused_feature_mse(s, t, p)
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+    def test_row_padding_does_not_pollute(self, rng):
+        # 2*3*3 = 18 rows — far from the 512-row tile, exercises padding.
+        s = jnp.asarray(rng.normal(0, 1, (2, 3, 3, 16)).astype(np.float32))
+        t = jnp.asarray(rng.normal(0, 1, (2, 3, 3, 16)).astype(np.float32))
+        p = jnp.eye(16)
+        a = feature_matching_loss(s, t, p)
+        b = fused_feature_mse(s, t, p)
+        np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
+
+    def test_gradients_match_lax(self, rng):
+        s = jnp.asarray(rng.normal(0, 1, (1, 4, 4, 8)).astype(np.float32))
+        t = jnp.asarray(rng.normal(0, 1, (1, 4, 4, 16)).astype(np.float32))
+        p = jnp.asarray(rng.normal(0, 0.1, (16, 8)).astype(np.float32))
+        ga = jax.grad(feature_matching_loss, argnums=(0, 2))(s, t, p)
+        gb = jax.grad(fused_feature_mse, argnums=(0, 2))(s, t, p)
+        for a, b in zip(ga, gb):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-5)
+
+
+class TestKDTotalLossFused:
+    def test_matches_unfused(self, rng):
+        B, H, W, C = 2, 4, 4, 2
+        s_logits = jnp.asarray(rng.normal(0, 1, (B, H, W, C)).astype(np.float32))
+        t_logits = jnp.asarray(rng.normal(0, 1, (B, H, W, C)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, C, (B, H, W)))
+        s_feats = {"camera_feat": jnp.asarray(
+            rng.normal(0, 1, (B, H, W, 8)).astype(np.float32))}
+        t_feats = {"camera_feat": jnp.asarray(
+            rng.normal(0, 1, (B, H, W, 16)).astype(np.float32))}
+        projs = {"camera_feat": jnp.asarray(
+            rng.normal(0, 0.1, (16, 8)).astype(np.float32))}
+        kw = dict(class_weights=jnp.asarray([0.4, 3.5]), ignore_index=-1,
+                  temperature=2.0, alpha_kl=0.5, beta_feature=0.5,
+                  feature_taps=("camera_feat",), projections=projs)
+        loss_a, parts_a = kd_total_loss(s_logits, t_logits, s_feats, t_feats,
+                                        labels, **kw)
+        loss_b, parts_b = kd_total_loss_fused(s_logits, t_logits, s_feats,
+                                              t_feats, labels, **kw)
+        np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+        for k in parts_a:
+            np.testing.assert_allclose(float(parts_a[k]), float(parts_b[k]),
+                                       rtol=1e-5, err_msg=k)
