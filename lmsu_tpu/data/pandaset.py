@@ -114,25 +114,38 @@ class PandaSetDataset:
         img = self._load_image(s["image"])
         pts_full = self._load_points(s["lidar"])
 
-        # Raster labels use the FULL cloud (pre-sampling), like the reference
-        # (pandaset_dataset.py:133 rasterizes x/y before downsampling... note
-        # the reference actually rasterizes the original x,y arrays).
+        # Labels rasterize from the FULL cloud, before any downsampling —
+        # the reference does the same (pandaset_dataset.py:133 uses the
+        # original x/y arrays, not the sampled pts).
         import pandas as pd
         raw_ids = pd.read_pickle(s["semseg"])["class"].to_numpy(dtype=np.int64)
         ids2 = remap_semantic(raw_ids)
-        bev = rasterize_bev(pts_full[:, 0], pts_full[:, 1], ids2,
-                            grid_size=self.grid_size, pc_range=self.pc_range)
+        from lmsu_tpu.data.native import (rasterize_bev_native,
+                                          sample_or_pad_native)
+        bev = rasterize_bev_native(pts_full[:, 0], pts_full[:, 1], ids2,
+                                   grid_size=self.grid_size,
+                                   pc_range=self.pc_range)
+        if bev is None:  # native lib not built
+            bev = rasterize_bev(pts_full[:, 0], pts_full[:, 1], ids2,
+                                grid_size=self.grid_size,
+                                pc_range=self.pc_range)
 
         n = pts_full.shape[0]
-        if n > self.max_points:
-            choice = self._rng.choice(n, self.max_points, replace=False)
-            pts = pts_full[choice]
-            n_valid = self.max_points
+        native = sample_or_pad_native(
+            pts_full, self.max_points,
+            seed=int(self._rng.integers(0, 2 ** 63 - 1)))
+        if native is not None:
+            pts, valid = native
         else:
-            pad = np.zeros((self.max_points - n, 4), np.float32)
-            pts = np.vstack([pts_full, pad])
-            n_valid = n
-        valid = np.arange(self.max_points) < n_valid
+            if n > self.max_points:
+                choice = self._rng.choice(n, self.max_points, replace=False)
+                pts = pts_full[choice]
+                n_valid = self.max_points
+            else:
+                pad = np.zeros((self.max_points - n, 4), np.float32)
+                pts = np.vstack([pts_full, pad])
+                n_valid = n
+            valid = np.arange(self.max_points) < n_valid
         if self.pad_points_are_valid:
             valid = np.ones(self.max_points, bool)
 

@@ -7,13 +7,16 @@ from lmsu_tpu.models.fusion import (CameraFPNLite, CompleteSegmentationModel,
                                     MinimalFusion,
                                     SameResolutionSegmentationHead,
                                     WeightedFusion)
-from lmsu_tpu.models.lidar_encoder import (LiDAREncoder, SpatialLiDAREncoder,
+from lmsu_tpu.models.lidar_encoder import (LiDAREncoder,
+                                           PointPillarsLiDAREncoder,
+                                           SpatialLiDAREncoder,
                                            create_test_point_cloud)
 from lmsu_tpu.models.factory import (count_parameters, create_model,
                                      get_architecture_summary, init_model)
 
 __all__ = [
     "TwinLiteEncoder", "LiDAREncoder", "SpatialLiDAREncoder",
+    "PointPillarsLiDAREncoder",
     "create_test_point_cloud", "CameraFPNLite", "CompleteSegmentationModel",
     "ConcatenationFusion", "MinimalFusion", "WeightedFusion",
     "LightweightSegmentationHead", "SameResolutionSegmentationHead",

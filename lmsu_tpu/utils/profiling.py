@@ -1,0 +1,65 @@
+"""Profiling & throughput instrumentation.
+
+The reference has no profiling beyond ad-hoc time.time() benchmarking in a
+commented-out test (SURVEY.md §5).  This module provides the TPU-idiomatic
+equivalents: a step-time/throughput meter and a jax.profiler trace context.
+
+Measurement caveat (discovered on this machine's relayed TPU): repeated
+IDENTICAL dispatches can be memoized by the transport and report impossibly
+fast times.  StepTimer is meant to wrap *state-mutating* training steps,
+which cannot be memoized; for micro-benchmarks of pure functions, chain the
+output into the next call's input or wrap K iterations in lax.scan.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+
+class StepTimer:
+    """Tracks step wall time and frames/sec with a warmup skip."""
+
+    def __init__(self, warmup_steps: int = 1):
+        self.warmup_steps = warmup_steps
+        self._times: list = []
+        self._count = 0
+        self._t0: Optional[float] = None
+
+    def __enter__(self) -> "StepTimer":
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        dt = time.perf_counter() - self._t0
+        self._count += 1
+        if self._count > self.warmup_steps:
+            self._times.append(dt)
+
+    def summary(self, batch_size: Optional[int] = None) -> Dict[str, float]:
+        if not self._times:
+            return {}
+        times = np.asarray(self._times)
+        out = {
+            "steps": len(times),
+            "mean_ms": float(times.mean() * 1e3),
+            "p50_ms": float(np.median(times) * 1e3),
+            "p95_ms": float(np.percentile(times, 95) * 1e3),
+        }
+        if batch_size:
+            out["frames_per_sec"] = float(batch_size / times.mean())
+        return out
+
+
+@contextlib.contextmanager
+def profiler_trace(log_dir: str = "/tmp/lmsu_trace") -> Iterator[None]:
+    """Capture a jax.profiler trace (view with TensorBoard / Perfetto)."""
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Architecture diagram with live parameter/performance stats.
+
+Rebuild of reference create_architecture_diagram.py:6-191: draws the
+camera/LiDAR/fusion/head block diagram annotated with parameter counts
+computed by instantiating the actual model (not hard-coded).
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--fusion-type", default="concat",
+                   choices=["concat", "minimal", "weighted"])
+    p.add_argument("--output", default="architecture_diagram.png")
+    args = p.parse_args(argv)
+
+    import jax
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import FancyArrowPatch, FancyBboxPatch
+
+    from lmsu_tpu.config import ModelConfig
+    from lmsu_tpu.models import (create_model, get_architecture_summary,
+                                 init_model)
+
+    out_ch = {"concat": 256, "minimal": 128, "weighted": 128}[args.fusion_type]
+    cfg = ModelConfig(num_classes=2, fusion_type=args.fusion_type,
+                      fusion_out_channels=out_ch)
+    model = create_model(cfg)
+    variables = init_model(model, jax.random.PRNGKey(0))
+    s = get_architecture_summary(model, variables)
+
+    fig, ax = plt.subplots(figsize=(13, 7))
+    ax.set_xlim(0, 13)
+    ax.set_ylim(0, 7)
+    ax.axis("off")
+
+    def box(x, y, w, h, title, lines, color):
+        ax.add_patch(FancyBboxPatch((x, y), w, h, boxstyle="round,pad=0.08",
+                                    facecolor=color, edgecolor="black",
+                                    alpha=0.85))
+        ax.text(x + w / 2, y + h - 0.35, title, ha="center", fontsize=11,
+                weight="bold")
+        for i, line in enumerate(lines):
+            ax.text(x + w / 2, y + h - 0.75 - 0.33 * i, line, ha="center",
+                    fontsize=9)
+
+    def arrow(x1, y1, x2, y2):
+        ax.add_patch(FancyArrowPatch((x1, y1), (x2, y2),
+                                     arrowstyle="-|>", mutation_scale=18,
+                                     color="black"))
+
+    box(0.4, 4.6, 3.0, 1.9, "Camera encoder",
+        ["TwinLite (MobileNetV2)", "256x256x3 -> multiscale",
+         f"{s['camera_params']} params"], "#aecbfa")
+    box(0.4, 0.6, 3.0, 1.9, "LiDAR encoder",
+        ["PointNet MLP + scatter-max", "5000x4 -> 64x64x128",
+         f"{s['lidar_params']} params"], "#ccff90")
+    box(4.2, 4.6, 2.6, 1.9, "FPN-Lite",
+        ["laterals s3-s5", "-> 64x64x128"], "#aecbfa")
+    box(7.4, 2.6, 2.6, 1.9, f"Fusion: {args.fusion_type}",
+        [f"-> 64x64x{out_ch}", f"{s['fusion_params']} params (incl. FPN)"],
+        "#fff0b3")
+    box(10.4, 2.6, 2.2, 1.9, "Seg head",
+        ["DWSep x2 + 1x1", "-> 64x64x2", f"{s['head_params']} params"],
+        "#f8bbd0")
+    arrow(3.4, 5.5, 4.2, 5.5)
+    arrow(6.8, 5.3, 7.6, 4.5)
+    arrow(3.4, 1.5, 7.6, 2.8)
+    arrow(10.0, 3.5, 10.4, 3.5)
+    ax.text(6.5, 6.7, "TPU-native camera+LiDAR BEV segmentation "
+            f"({args.fusion_type} fusion) — total {s['total_params']} params",
+            ha="center", fontsize=13, weight="bold")
+
+    fig.savefig(args.output, dpi=130, bbox_inches="tight")
+    print(f"Wrote {args.output}")
+    for k, v in s.items():
+        print(f"  {k}: {v}")
+
+
+if __name__ == "__main__":
+    main()

@@ -81,6 +81,20 @@ class TestLidarEncoder:
         v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 10, 4)))
         assert count_parameters(v["params"]) == 25_792
 
+    def test_pointpillars_encoder(self, rng):
+        """The native pillar-feature-net path (reference 2.4 rebuilt)."""
+        cfg = LidarEncoderConfig(encoder_type="pointpillars", feature_dim=16,
+                                 mlp_dims=(8,), grid_size=(8, 8))
+        enc = LiDAREncoder(cfg)
+        pts = jnp.asarray(rng.normal(0, 20, (2, 200, 4)).astype(np.float32))
+        v = enc.init(jax.random.PRNGKey(0), pts)
+        out = enc.apply(v, pts)
+        assert out.shape == (2, 8, 8, 16)
+        assert float(out.min()) >= 0.0
+        # out-of-range -> zero, same contract as spatial
+        far = jnp.full((1, 50, 4), 500.0)
+        assert float(jnp.abs(enc.apply(v, far)).max()) == 0.0
+
     def test_bad_encoder_type_raises(self):
         enc = LiDAREncoder(LidarEncoderConfig(encoder_type="bogus"))
         with pytest.raises(ValueError, match="Unknown encoder type"):

@@ -1,0 +1,59 @@
+"""Native (C++) host-op equivalence tests against the numpy paths."""
+
+import numpy as np
+import pytest
+
+from lmsu_tpu.data.native import (native_available, rasterize_bev_native,
+                                  sample_or_pad_native)
+from lmsu_tpu.data.rasterize import rasterize_bev
+
+pytestmark = pytest.mark.skipif(
+    not native_available(),
+    reason="native/libbev_ops.so not built (make -C native)")
+
+
+class TestNativeRasterize:
+    def test_matches_numpy_2class(self, rng):
+        x = rng.uniform(-60, 60, 2000).astype(np.float32)
+        y = rng.uniform(-60, 60, 2000).astype(np.float32)
+        labels = rng.integers(0, 2, 2000).astype(np.int64)
+        a = rasterize_bev(x, y, labels, (64, 64))
+        b = rasterize_bev_native(x, y, labels, (64, 64))
+        np.testing.assert_array_equal(a, b)
+
+    def test_matches_numpy_multiclass_order(self, rng):
+        # first-nonzero-wins is order-dependent; both must agree exactly.
+        x = rng.uniform(-50, 50, 500).astype(np.float32)
+        y = rng.uniform(-50, 50, 500).astype(np.float32)
+        labels = rng.integers(0, 5, 500).astype(np.int64)
+        a = rasterize_bev(x, y, labels, (8, 8))
+        b = rasterize_bev_native(x, y, labels, (8, 8))
+        np.testing.assert_array_equal(a, b)
+
+    def test_empty(self):
+        out = rasterize_bev_native(np.array([], np.float32),
+                                   np.array([], np.float32),
+                                   np.array([], np.int64), (8, 8))
+        assert out.sum() == 0
+
+
+class TestNativeSample:
+    def test_pad_short_cloud(self, rng):
+        pts = rng.normal(0, 1, (10, 4)).astype(np.float32)
+        out, valid = sample_or_pad_native(pts, 16, seed=0)
+        np.testing.assert_array_equal(out[:10], pts)
+        assert (out[10:] == 0).all()
+        assert valid.tolist() == [True] * 10 + [False] * 6
+
+    def test_downsample_unique_no_replacement(self, rng):
+        pts = np.arange(400, dtype=np.float32).reshape(100, 4)
+        out, valid = sample_or_pad_native(pts, 30, seed=7)
+        assert valid.all()
+        # rows must be distinct original rows
+        ids = out[:, 0].astype(int) // 4
+        assert len(set(ids.tolist())) == 30
+        # deterministic per seed, different across seeds
+        out2, _ = sample_or_pad_native(pts, 30, seed=7)
+        np.testing.assert_array_equal(out, out2)
+        out3, _ = sample_or_pad_native(pts, 30, seed=8)
+        assert not np.array_equal(out, out3)
