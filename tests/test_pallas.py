@@ -85,6 +85,66 @@ class TestFusedFeatureMSE:
                                        atol=1e-5)
 
 
+class TestWeightedFusionGate:
+    def _ref_gate(self, cam, lid, w1, b1, w2, b2):
+        """The unfused math from models/fusion.py WeightedFusion."""
+        concat = jnp.concatenate([cam, lid], axis=-1)
+        h = jax.nn.relu(jnp.einsum("bhwc,cd->bhwd", concat, w1[0, 0]) + b1)
+        logits = jnp.einsum("bhwc,cd->bhwd", h, w2[0, 0]) + b2
+        w = jax.nn.softmax(logits, axis=-1)
+        return cam * w[..., 0:1] + lid * w[..., 1:2]
+
+    def _data(self, rng, B=2, H=4, W=4, C=16):
+        cam = jnp.asarray(rng.normal(0, 1, (B, H, W, C)).astype(np.float32))
+        lid = jnp.asarray(rng.normal(0, 1, (B, H, W, C)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(0, 0.1, (1, 1, 2 * C, C)).astype(np.float32))
+        b1 = jnp.asarray(rng.normal(0, 0.1, (C,)).astype(np.float32))
+        w2 = jnp.asarray(rng.normal(0, 0.1, (1, 1, C, 2)).astype(np.float32))
+        b2 = jnp.asarray(rng.normal(0, 0.1, (2,)).astype(np.float32))
+        return cam, lid, w1, b1, w2, b2
+
+    def test_forward_matches_unfused(self, rng):
+        from lmsu_tpu.ops.fusion_pallas import weighted_fusion_gate
+        args = self._data(rng)
+        a = self._ref_gate(*args)
+        b = weighted_fusion_gate(*args)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-6)
+
+    def test_gradients_match_unfused(self, rng):
+        from lmsu_tpu.ops.fusion_pallas import weighted_fusion_gate
+        args = self._data(rng, B=1, H=2, W=2, C=8)
+
+        def loss_ref(*a):
+            return jnp.sum(self._ref_gate(*a) ** 2)
+
+        def loss_pl(*a):
+            return jnp.sum(weighted_fusion_gate(*a) ** 2)
+
+        ga = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5))(*args)
+        gb = jax.grad(loss_pl, argnums=(0, 1, 2, 3, 4, 5))(*args)
+        for i, (a, b) in enumerate(zip(ga, gb)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4, err_msg=f"arg {i}")
+
+    def test_model_level_use_pallas(self, rng, small_model_config):
+        """WeightedFusion(use_pallas=True) inside the full model matches the
+        unfused model output."""
+        import dataclasses
+        from lmsu_tpu.config import ModelConfig
+        from lmsu_tpu.models import create_model, init_model
+        from lmsu_tpu.models.fusion import WeightedFusion
+        C = 16
+        cam = jnp.asarray(rng.normal(0, 1, (1, 4, 4, C)).astype(np.float32))
+        lid = jnp.asarray(rng.normal(0, 1, (1, 4, 4, C)).astype(np.float32))
+        m1 = WeightedFusion(out_channels=C, use_pallas=False)
+        m2 = WeightedFusion(out_channels=C, use_pallas=True)
+        v = m1.init(jax.random.PRNGKey(0), cam, lid)
+        _, out1 = m1.apply(v, cam, lid)
+        _, out2 = m2.apply(v, cam, lid)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                                   atol=2e-6)
+
+
 class TestKDTotalLossFused:
     def test_matches_unfused(self, rng):
         B, H, W, C = 2, 4, 4, 2
