@@ -29,6 +29,7 @@ def main() -> None:
     from lmsu_tpu.config import (ExperimentConfig, KDConfig, ModelConfig,
                                  TrainConfig, teacher_config)
     from lmsu_tpu.models import create_model, init_model
+    from lmsu_tpu.ops.kd_loss_pallas import kd_total_loss_fused
     from lmsu_tpu.ops.losses import kd_total_loss
     from lmsu_tpu.ops.metrics import confusion_matrix
     from lmsu_tpu.training.trainer import TrainState
@@ -69,6 +70,9 @@ def main() -> None:
                        opt_state=tx.init(params))
     class_weights = jnp.asarray([0.4, 3.5], jnp.float32)
 
+    # The Pallas-fused feature-matching loss on TPU; lax path on CPU.
+    loss_impl = kd_total_loss_fused if on_tpu else kd_total_loss
+
     def kd_step(state, images, points, labels):
         def loss_fn(p):
             t_logits, t_feats = teacher.apply(
@@ -80,7 +84,7 @@ def main() -> None:
                 {"params": p["model"], "batch_stats": state.batch_stats},
                 images, points, train=True, return_intermediates=True,
                 mutable=["batch_stats"])
-            loss, _ = kd_total_loss(
+            loss, _ = loss_impl(
                 s_logits, t_logits, s_feats, t_feats, labels,
                 class_weights=class_weights, ignore_index=-1,
                 temperature=kd.temperature, alpha_kl=kd.alpha_kl,

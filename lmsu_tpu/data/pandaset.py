@@ -101,7 +101,10 @@ class PandaSetDataset:
         from PIL import Image
         img = Image.open(path).convert("RGB")
         img = img.resize(self.image_size, Image.BILINEAR)
-        return np.asarray(img, dtype=np.float32) / 255.0  # [H, W, 3]
+        # uint8 transport; the model divides by 255 on device — numerically
+        # the same values as the reference's host-side float32/255
+        # (pandaset_dataset.py:110).
+        return np.asarray(img, dtype=np.uint8)  # [H, W, 3]
 
     def _load_points(self, path: str) -> np.ndarray:
         import pandas as pd

@@ -28,13 +28,17 @@ class SyntheticMultiModalDataset:
                  grid_size: Tuple[int, int] = (64, 64),
                  max_points: int = 5000,
                  pc_range: Tuple[float, float, float, float] = (-50, 50, -50, 50),
-                 seed: int = 0):
+                 seed: int = 0,
+                 cache: bool = True):
         self.num_samples = num_samples
         self.image_size = image_size
         self.grid_size = grid_size
         self.max_points = max_points
         self.pc_range = pc_range
         self.seed = seed
+        # Samples are deterministic per (seed, idx); caching turns epoch 2+
+        # host cost to ~zero (~0.9 MB/sample at the default shapes).
+        self._cache: Dict[int, Dict[str, np.ndarray]] = {} if cache else None
 
     def __len__(self) -> int:
         return self.num_samples
@@ -62,6 +66,14 @@ class SyntheticMultiModalDataset:
         return mask.astype(np.int64)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        if self._cache is not None and idx in self._cache:
+            return self._cache[idx]
+        item = self._generate(idx)
+        if self._cache is not None:
+            self._cache[idx] = item
+        return item
+
+    def _generate(self, idx: int) -> Dict[str, np.ndarray]:
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, idx]))
         H, W = self.grid_size
@@ -101,9 +113,12 @@ class SyntheticMultiModalDataset:
         img[..., 2] = np.where(up > 0, 0.50, 0.15)
         img += rng.normal(0, 0.05, img.shape).astype(np.float32)
         img = np.clip(img, 0.0, 1.0)
+        # uint8 transport: 4x less host->device traffic; the model
+        # normalizes back to [0,1] on device (models/fusion.py).
+        img = np.round(img * 255.0).astype(np.uint8)
 
         return {
-            "image": img,                            # [ih, iw, 3] float32 NHWC
+            "image": img,                            # [ih, iw, 3] uint8 NHWC
             "points": pts,                           # [max_points, 4] float32
             "segmentation": road,                    # [H, W] int64
             "sample_token": f"synthetic_{idx:06d}",

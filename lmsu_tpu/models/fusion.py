@@ -256,6 +256,11 @@ class CompleteSegmentationModel(nn.Module):
         dtype = cfg.compute_dtype
         kw = dict(dtype=dtype, bn_axis_name=self.bn_axis_name)
 
+        # uint8 images are accepted directly (4x cheaper host->device
+        # transfer than fp32) and normalized on device — bit-identical to
+        # the host-side /255 of the reference (pandaset_dataset.py:110).
+        if images.dtype == jnp.uint8:
+            images = images.astype(dtype) / jnp.asarray(255.0, dtype)
         camera = TwinLiteEncoder(cfg.camera, name="camera_encoder", **kw)
         cam_raw = camera(images.astype(dtype), train)
         if isinstance(cam_raw, dict):

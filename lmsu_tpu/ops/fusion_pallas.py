@@ -16,6 +16,14 @@ Kernel math per row (one BEV position, C channels):
 Matmuls ride the MXU ([TILE_M, C] x [C, C]); everything else is VPU work on
 the same VMEM tile.  Backward is a custom VJP with the analytic gradients as
 dense jnp matmuls (see _gate_bwd).
+
+Precision note: the kernel's dots accumulate in fp32
+(preferred_element_type), while XLA's default matmul precision on TPU
+truncates fp32 einsum inputs to bf16 — so against the *default-precision*
+unfused path the outputs differ by bf16 rounding amplified through the
+sigmoid gate (~0.2 max on O(1) features); the kernel is the more accurate
+side. Exact math equivalence is pinned by the CPU interpret-mode tests
+(tests/test_pallas.py); in production both paths run bf16 compute anyway.
 """
 
 from __future__ import annotations

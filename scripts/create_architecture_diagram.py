@@ -17,6 +17,9 @@ def main(argv=None):
     p.add_argument("--fusion-type", default="concat",
                    choices=["concat", "minimal", "weighted"])
     p.add_argument("--output", default="architecture_diagram.png")
+    p.add_argument("--html", default=None,
+                   help="also write a static HTML stats page "
+                        "(reference architecture.html analog)")
     args = p.parse_args(argv)
 
     import jax
@@ -82,6 +85,31 @@ def main(argv=None):
     print(f"Wrote {args.output}")
     for k, v in s.items():
         print(f"  {k}: {v}")
+
+    if args.html:
+        rows = "\n".join(
+            f"<tr><td>{k.replace('_', ' ')}</td><td>{v}</td></tr>"
+            for k, v in s.items())
+        html = f"""<!DOCTYPE html>
+<html><head><meta charset="utf-8">
+<title>TPU-native multi-modal BEV segmentation — architecture</title>
+<style>
+ body {{ font-family: system-ui, sans-serif; margin: 2rem; }}
+ table {{ border-collapse: collapse; }}
+ td {{ border: 1px solid #ccc; padding: 0.4rem 0.9rem; }}
+ h1 {{ font-size: 1.3rem; }}
+</style></head><body>
+<h1>Camera+LiDAR BEV segmentation ({args.fusion_type} fusion)</h1>
+<p>Camera: TwinLite 5-stage encoder (256&times;256&times;3 &rarr; multiscale)
+ + FPN-Lite &rarr; 64&times;64&times;128.<br>
+LiDAR: PointNet MLP + BEV scatter-max (5000&times;4 &rarr;
+ 64&times;64&times;128).<br>
+Fusion &rarr; segmentation head &rarr; 64&times;64&times;2 drivable mask.</p>
+<table>{rows}</table>
+</body></html>"""
+        with open(args.html, "w") as f:
+            f.write(html)
+        print(f"Wrote {args.html}")
 
 
 if __name__ == "__main__":

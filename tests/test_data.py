@@ -66,8 +66,7 @@ class TestSynthetic:
                                         grid_size=(16, 16), max_points=500)
         item = ds[0]
         assert item["image"].shape == (64, 64, 3)
-        assert item["image"].dtype == np.float32
-        assert 0.0 <= item["image"].min() and item["image"].max() <= 1.0
+        assert item["image"].dtype == np.uint8  # device normalizes /255
         assert item["points"].shape == (500, 4)
         assert item["segmentation"].shape == (16, 16)
         assert set(np.unique(item["segmentation"])) <= {0, 1}

@@ -181,6 +181,18 @@ class TestCompleteModel:
         kernel_zeros = [k for k in zero_grads if "kernel" in k]
         assert kernel_zeros == [], f"dead kernels: {kernel_zeros}"
 
+    def test_uint8_image_input_matches_float(self, small_model_config, rng):
+        """uint8 transport images produce the same logits as float/255."""
+        m = create_model(small_model_config)
+        img_u8 = rng.integers(0, 256, (1, 64, 64, 3)).astype(np.uint8)
+        pts = jnp.asarray(rng.normal(0, 20, (1, 500, 4)).astype(np.float32))
+        v = init_model(m, jax.random.PRNGKey(0), image_size=(64, 64),
+                       num_points=500)
+        out_u8 = m.apply(v, jnp.asarray(img_u8), pts)
+        out_f = m.apply(v, jnp.asarray(img_u8.astype(np.float32) / 255.0), pts)
+        np.testing.assert_allclose(np.asarray(out_u8), np.asarray(out_f),
+                                   atol=1e-5)
+
     def test_train_eval_modes_differ(self, small_model_config, sample_batch):
         m = create_model(small_model_config)
         v = init_model(m, jax.random.PRNGKey(2), image_size=(64, 64),
