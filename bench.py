@@ -139,8 +139,26 @@ def main() -> None:
         t0 = time.perf_counter()
         jax.block_until_ready(eval_fn(sv, i1, p1))
         lats.append(time.perf_counter() - t0)
-    print(f"eval p50 latency (B=1): {np.median(lats) * 1e3:.2f} ms "
-          f"(reference CPU: 80.9 ms)", file=sys.stderr)
+    print(f"eval p50 latency (B=1, incl. host link RTT): "
+          f"{np.median(lats) * 1e3:.2f} ms (reference CPU: 80.9 ms)",
+          file=sys.stderr)
+
+    # On-chip eval latency: K chained forwards in one dispatch (the relay
+    # RTT on this machine otherwise dominates single-call numbers).
+    K = 20
+
+    @jax.jit
+    def eval_k(v, i, p):
+        def body(x, _):
+            out = student.apply(v, i + x * 0.0, p, train=False)
+            return jnp.mean(out).astype(i.dtype), 0.0
+        return jax.lax.scan(body, jnp.zeros((), i.dtype), None, length=K)[0]
+
+    jax.block_until_ready(eval_k(sv, i1, p1))
+    t0 = time.perf_counter()
+    jax.block_until_ready(eval_k(sv, i1, p1))
+    print(f"eval on-chip latency (B=1, scan-amortized): "
+          f"{(time.perf_counter() - t0) / K * 1e3:.2f} ms", file=sys.stderr)
 
     print(json.dumps({
         "metric": "kd_train_frames_per_sec_per_chip",

@@ -1,0 +1,64 @@
+"""Single-frame / batch inference — the serving path.
+
+The reference's closest analog is the visualization script's eval loop
+(visualize_predictions.py:11-81); BASELINE.md tracks its p50 frame latency.
+Predictor wraps a trained model as one jitted forward with optional bf16
+compute, accepting uint8 or float images.
+
+    predictor = Predictor.from_checkpoint("checkpoints/run/best.ckpt", cfg)
+    mask = predictor.predict_mask(image_u8, points)          # [H, W] int32
+    logits = predictor(images, points)                       # batched
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lmsu_tpu.config import ModelConfig
+from lmsu_tpu.models import create_model, init_model
+
+
+class Predictor:
+    def __init__(self, config: ModelConfig, variables: Dict[str, Any]):
+        self.config = config
+        self.model = create_model(config)
+        self.variables = jax.device_put(variables)
+        self._forward = jax.jit(
+            lambda v, i, p: self.model.apply(v, i, p, train=False))
+        self._predict = jax.jit(
+            lambda v, i, p: jnp.argmax(
+                self.model.apply(v, i, p, train=False), axis=-1))
+
+    @classmethod
+    def from_checkpoint(cls, path: str, config: ModelConfig,
+                        bf16: bool = False) -> "Predictor":
+        """Load a trainer checkpoint (plain or KD student layout)."""
+        from lmsu_tpu.training.checkpoint import load_model_variables
+        if bf16:
+            config = dataclasses.replace(config, compute_dtype=jnp.bfloat16)
+        return cls(config, load_model_variables(path))
+
+    @classmethod
+    def from_torch_checkpoint(cls, path: str, config: ModelConfig
+                              ) -> "Predictor":
+        """Load a reference PyTorch .pth checkpoint directly."""
+        from lmsu_tpu.utils.torch_compat import load_torch_checkpoint
+        return cls(config, load_torch_checkpoint(path, config))
+
+    def __call__(self, images, points) -> jnp.ndarray:
+        """Batched logits [B, H, W, num_classes]."""
+        return self._forward(self.variables, jnp.asarray(images),
+                             jnp.asarray(points))
+
+    def predict_mask(self, image, points) -> np.ndarray:
+        """Single frame -> [H, W] int32 class mask."""
+        images = jnp.asarray(image)[None] if np.ndim(image) == 3 \
+            else jnp.asarray(image)
+        pts = jnp.asarray(points)[None] if np.ndim(points) == 2 \
+            else jnp.asarray(points)
+        return np.asarray(self._predict(self.variables, images, pts))[0]
