@@ -1,0 +1,68 @@
+"""CLI entry-point smoke tests (subprocess, tiny configs, CPU).
+
+The reference's entry points are bare main() scripts (SURVEY.md §2.19-2.24);
+these tests pin our CLI contracts: flags parse, artifacts appear, schemas
+hold. Heavier E2E behavior is covered in test_trainer/test_kd.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_script(args, timeout=540):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    return subprocess.run([sys.executable] + args, capture_output=True,
+                          text=True, env=env, cwd=REPO, timeout=timeout)
+
+
+class TestAnalysisScripts:
+    def test_analyze_distribution(self):
+        r = run_script(["scripts/analyze_distribution.py",
+                        "--max-samples", "5"])
+        assert r.returncode == 0, r.stderr[-500:]
+        assert "recommended class weights" in r.stdout
+        assert "drift" in r.stdout
+
+    def test_plot_training_curves(self, tmp_path):
+        run_dir = tmp_path / "run"
+        run_dir.mkdir()
+        hist = {k: [0.5, 0.4] for k in
+                ("train_loss", "train_miou", "val_loss", "val_miou", "lr")}
+        (run_dir / "training_history.json").write_text(json.dumps(hist))
+        out = tmp_path / "curves.png"
+        r = run_script(["scripts/plot_training_curves.py",
+                        "--runs", str(run_dir), "--output", str(out)])
+        assert r.returncode == 0, r.stderr[-500:]
+        assert out.exists()
+        assert "best val mIoU" in r.stdout
+
+    def test_plot_training_curves_missing_run(self, tmp_path):
+        r = run_script(["scripts/plot_training_curves.py",
+                        "--runs", str(tmp_path / "nope")])
+        assert r.returncode == 1
+        assert "No histories found" in r.stdout
+
+    def test_architecture_diagram_with_html(self, tmp_path):
+        png = tmp_path / "a.png"
+        html = tmp_path / "a.html"
+        r = run_script(["scripts/create_architecture_diagram.py",
+                        "--output", str(png), "--html", str(html)])
+        assert r.returncode == 0, r.stderr[-500:]
+        assert png.exists() and html.exists()
+        assert "573,442" in r.stdout  # live param count, concat default
+        assert "573,442" in html.read_text()
+
+    def test_bad_fusion_flag_rejected(self):
+        r = run_script(["scripts/create_architecture_diagram.py",
+                        "--fusion-type", "bogus"])
+        assert r.returncode == 2
+        assert "invalid choice" in r.stderr
