@@ -67,6 +67,7 @@ class Batcher:
                 if key == "sample_token":
                     continue
                 batch[key] = np.stack([s[key] for s in samples])
+            batch["sample_index"] = chunk.astype(np.int32)
             batch["sample_mask"] = (np.arange(B) < n_real)
             batch["segmentation"] = np.where(
                 batch["sample_mask"][:, None, None],
@@ -95,8 +96,9 @@ class PrefetchLoader:
             try:
                 for b in self.batcher:
                     q.put(b)
-            finally:
                 q.put(_END)
+            except BaseException as e:  # surface, never silently end epoch
+                q.put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -104,6 +106,8 @@ class PrefetchLoader:
             item = q.get()
             if item is _END:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

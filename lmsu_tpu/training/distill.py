@@ -164,15 +164,116 @@ class DistillationTrainer(Trainer):
                                  out_shardings=(rep, rep))
         self.last_loss_parts: Dict[str, float] = {}
 
+        # -- frozen-teacher output cache (KDConfig.cache_teacher) ----------
+        self.teacher_cache = None
+
+        def fill_cache(cache, batch):
+            kwargs = {}
+            if "point_valid" in batch:
+                kwargs["point_valid"] = batch["point_valid"]
+            t_logits, t_feats = self.teacher.apply(
+                self.teacher_variables, batch["image"], batch["points"],
+                train=False, return_intermediates=True, **kwargs)
+            idx = batch["sample_index"]
+            cache = dict(cache)
+            cache["logits"] = cache["logits"].at[idx].set(
+                t_logits.astype(cache["logits"].dtype))
+            for tap in kd.feature_taps:
+                cache[tap] = cache[tap].at[idx].set(
+                    t_feats[tap].astype(cache[tap].dtype))
+            return cache
+
+        def train_step_cached(state: TrainState, batch, cache):
+            idx = batch["sample_index"]
+            t_logits = jnp.take(cache["logits"], idx, axis=0)
+            t_feats = {tap: jnp.take(cache[tap], idx, axis=0)
+                       for tap in kd.feature_taps}
+
+            def loss_fn(params, batch_stats):
+                kwargs = {}
+                if "point_valid" in batch:
+                    kwargs["point_valid"] = batch["point_valid"]
+                (s_logits, s_feats), mut = self.model.apply(
+                    {"params": params["model"], "batch_stats": batch_stats},
+                    batch["image"], batch["points"], train=True,
+                    return_intermediates=True, mutable=["batch_stats"],
+                    **kwargs)
+                loss_fn_impl = kd_total_loss
+                if kd.use_pallas:
+                    from lmsu_tpu.ops.kd_loss_pallas import kd_total_loss_fused
+                    loss_fn_impl = kd_total_loss_fused
+                loss, parts = loss_fn_impl(
+                    s_logits, t_logits, s_feats, t_feats,
+                    batch["segmentation"], class_weights=self.class_weights,
+                    ignore_index=ignore_index, temperature=kd.temperature,
+                    alpha_kl=kd.alpha_kl, beta_feature=kd.beta_feature,
+                    feature_taps=kd.feature_taps,
+                    projections=params["proj"])
+                cm = confusion_matrix(s_logits, batch["segmentation"],
+                                      metrics_classes, ignore_index)
+                return loss, (mut["batch_stats"], cm, parts)
+
+            (loss, (new_stats, cm, parts)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params, state.batch_stats)
+            updates, opt_state = self.tx.update(grads, state.opt_state,
+                                                state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(step=state.step + 1, params=params,
+                                      batch_stats=new_stats,
+                                      opt_state=opt_state)
+            return new_state, loss, cm, parts
+
+        self.fill_cache_step = jax.jit(fill_cache, donate_argnums=0)
+        self.train_step_kd_cached = jax.jit(train_step_cached,
+                                            donate_argnums=0)
+
+    def _tap_dtype(self):
+        import jax.numpy as jnp
+        return jnp.bfloat16 if self.config.model.compute_dtype == jnp.bfloat16 \
+            else jnp.float32
+
+    def _build_teacher_cache(self) -> None:
+        """One teacher pass over the training set into HBM-resident arrays."""
+        from lmsu_tpu.parallel.mesh import shard_batch
+        n = len(self.train_loader.batcher.dataset) \
+            if hasattr(self.train_loader, "batcher") else None
+        if n is None:
+            raise ValueError("cache_teacher requires a Batcher-based loader")
+        if self.teacher_config.output_mode != "same":
+            raise NotImplementedError(
+                "cache_teacher supports output_mode='same' (logits at the "
+                "fused resolution)")
+        t_ch = _tap_channels(self.teacher, self.teacher_config)
+        # All taps (and 'same'-mode logits) live at the fused BEV
+        # resolution = image/4 (the FPN target scale; lidar_feat is the
+        # post-alignment tensor, fusion_module.py:239-240 semantics).
+        fh = fw = self.config.data.image_size[0] // 4
+        dt = self._tap_dtype()
+        cache = {"logits": jnp.zeros(
+            (n, fh, fw, self.config.model.num_classes), dt)}
+        for tap in self.kd.feature_taps:
+            cache[tap] = jnp.zeros((n, fh, fw, t_ch[tap]), dt)
+        # Cache entries are keyed by sample index, so any epoch order works.
+        for batch in self.train_loader:
+            batch = shard_batch(batch, self.mesh)
+            cache = self.fill_cache_step(cache, batch)
+        self.teacher_cache = cache
+
     def _run_epoch(self, loader, train: bool):
         from lmsu_tpu.ops.metrics import iou_from_confusion
         from lmsu_tpu.parallel.mesh import shard_batch
+        if train and self.kd.cache_teacher and self.teacher_cache is None:
+            self._build_teacher_cache()
         total_loss, n = 0.0, 0
         cm_total = np.zeros((self.config.train.metrics_num_classes,) * 2,
                             np.int64)
         for batch in loader:
             batch = shard_batch(batch, self.mesh)
-            if train:
+            if train and self.teacher_cache is not None:
+                self.state, loss, cm, parts = self.train_step_kd_cached(
+                    self.state, batch, self.teacher_cache)
+                self.last_loss_parts = {k: float(v) for k, v in parts.items()}
+            elif train:
                 self.state, loss, cm, parts = self.train_step_kd(self.state,
                                                                  batch)
                 self.last_loss_parts = {k: float(v) for k, v in parts.items()}

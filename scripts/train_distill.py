@@ -35,13 +35,16 @@ def main(argv=None) -> float:
     p.add_argument("--beta-feature", type=float, default=0.5)
     p.add_argument("--teacher-width", type=float, default=2.0)
     p.add_argument("--use-pallas-kd", action="store_true")
+    p.add_argument("--cache-teacher", action="store_true",
+                   help="precompute frozen-teacher outputs once (HBM cache)")
     args = p.parse_args(argv)
 
     kd = KDConfig(enabled=True, temperature=args.temperature,
                   alpha_kl=args.alpha_kl, beta_feature=args.beta_feature,
                   teacher_width_mult=args.teacher_width,
                   teacher_checkpoint=args.teacher_checkpoint,
-                  use_pallas=args.use_pallas_kd)
+                  use_pallas=args.use_pallas_kd,
+                  cache_teacher=args.cache_teacher)
     cfg = ExperimentConfig(
         model=ModelConfig(num_classes=2, fusion_type="weighted",
                           fusion_out_channels=128),

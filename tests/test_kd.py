@@ -93,6 +93,28 @@ class TestDistillationE2E:
         jax.tree_util.tree_map(np.testing.assert_array_equal, t_before,
                                t_after)
 
+    def test_cached_teacher_matches_inloop(self, tmp_path):
+        """cache_teacher=True reproduces the in-loop teacher's loss exactly
+        (fp32 cache, deterministic pipeline)."""
+        import dataclasses
+        cfg_a = _tiny_cfg(tmp_path)
+        cfg_b = cfg_a.replace(train=dataclasses.replace(
+            cfg_a.train, kd=dataclasses.replace(cfg_a.train.kd,
+                                                cache_teacher=True)))
+        losses = {}
+        for name, cfg in (("inloop", cfg_a), ("cached", cfg_b)):
+            train_ds, val_ds = create_datasets(cfg.data)
+            t = DistillationTrainer(
+                cfg, make_loader(train_ds, 8, shuffle=True),
+                make_loader(val_ds, 8, shuffle=False))
+            loss, _ = t.train_epoch()
+            losses[name] = loss
+            if name == "cached":
+                assert t.teacher_cache is not None
+                assert set(t.teacher_cache) == {"logits", "camera_feat",
+                                                "post_fusion"}
+        assert losses["cached"] == pytest.approx(losses["inloop"], rel=1e-4)
+
     def test_eval_uses_student_only(self, tmp_path):
         cfg = _tiny_cfg(tmp_path)
         train_ds, val_ds = create_datasets(cfg.data)
