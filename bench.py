@@ -29,7 +29,6 @@ def main() -> None:
     from lmsu_tpu.config import (ExperimentConfig, KDConfig, ModelConfig,
                                  TrainConfig, teacher_config)
     from lmsu_tpu.models import create_model, init_model
-    from lmsu_tpu.ops.kd_loss_pallas import kd_total_loss_fused
     from lmsu_tpu.ops.losses import kd_total_loss
     from lmsu_tpu.ops.metrics import confusion_matrix
     from lmsu_tpu.training.trainer import TrainState
@@ -70,8 +69,11 @@ def main() -> None:
                        opt_state=tx.init(params))
     class_weights = jnp.asarray([0.4, 3.5], jnp.float32)
 
-    # The Pallas-fused feature-matching loss on TPU; lax path on CPU.
-    loss_impl = kd_total_loss_fused if on_tpu else kd_total_loss
+    # Measured on v5e: the XLA loss path edges out the Pallas-fused one
+    # end-to-end (775 vs 742 frames/s) — XLA fuses the feature-MSE into the
+    # surrounding program well. Bench uses the faster path; the kernels stay
+    # available behind KDConfig.use_pallas.
+    loss_impl = kd_total_loss
 
     def kd_step(state, images, points, labels):
         def loss_fn(p):
