@@ -30,22 +30,49 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _scatter_max_kernel(idx_ref, feat_ref, out_ref, acc_ref):
-    """One batch element: idx [N, 1] int32, feat [N, C] -> out [HW, C]."""
+def _n_acc(dtype) -> int:
+    """Independent accumulators to hide read-modify-write latency; bounded
+    by VMEM (each copy is a full fp32 [HW, C] grid)."""
+    del dtype
+    return 1  # >1 exceeds the 16 MB VMEM budget at the default shapes
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _scatter_max_kernel(idx_ref, feat_ref, out_ref, feat32_ref, acc_ref, *,
+                        n_acc: int, stripe: int):
+    """One batch element: idx [N, 1] int32, feat [N, C] -> out [HW, C].
+
+    The scatter is inherently serial per point (successive updates may hit
+    the same row), so the kernel interleaves n_acc independent accumulator
+    copies — point n goes to accumulator n % n_acc — turning one chain of
+    dependent read-max-write ops into n_acc independent chains, then merges
+    them with a vectorized max.
+
+    All row-dynamic buffers are fp32: Mosaic cannot dynamically index
+    sublane-packed (bf16) rows, so bf16 features are widened once into a
+    VMEM scratch and the result is cast back on the way out.
+    """
     n_points = feat_ref.shape[0]
     hw = out_ref.shape[0]
 
+    feat32_ref[:] = feat_ref[:].astype(jnp.float32)
     acc_ref[:] = jnp.full_like(acc_ref, -jnp.inf)
 
     def body(n, _):
-        row = idx_ref[n, 0]  # invalid points were redirected to row >= hw
-        acc_ref[row, :] = jnp.maximum(acc_ref[row, :], feat_ref[n, :])
+        base = (n % n_acc) * stripe
+        row = base + idx_ref[n, 0]  # invalid points redirected to row >= hw
+        acc_ref[row, :] = jnp.maximum(acc_ref[row, :], feat32_ref[n, :])
         return 0
 
     jax.lax.fori_loop(0, n_points, body, 0)
 
     grid = acc_ref[:hw, :]
-    out_ref[:] = jnp.where(jnp.isneginf(grid), 0.0, grid)
+    for k in range(1, n_acc):
+        grid = jnp.maximum(grid, acc_ref[k * stripe:k * stripe + hw, :])
+    out_ref[:] = jnp.where(jnp.isneginf(grid), 0.0, grid).astype(out_ref.dtype)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -65,9 +92,12 @@ def _forward(features, flat_idx, valid, grid_size):
     hw = H * W
     idx = jnp.where(valid, flat_idx, hw).astype(jnp.int32)[..., None]  # [B,N,1]
 
+    n_acc = _n_acc(features.dtype)
+    # Stripe height aligned to the dtype's sublane tile (32 covers all).
+    stripe = _round_up(hw + 8, 32)
     interpret = jax.default_backend() == "cpu"
     out = pl.pallas_call(
-        _scatter_max_kernel,
+        functools.partial(_scatter_max_kernel, n_acc=n_acc, stripe=stripe),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((None, N, 1), lambda b: (b, 0, 0),
@@ -78,7 +108,8 @@ def _forward(features, flat_idx, valid, grid_size):
         out_specs=pl.BlockSpec((None, hw, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, hw, C), features.dtype),
-        scratch_shapes=[pltpu.VMEM((hw + 8, C), features.dtype)],
+        scratch_shapes=[pltpu.VMEM((N, C), jnp.float32),
+                        pltpu.VMEM((n_acc * stripe, C), jnp.float32)],
         interpret=interpret,
     )(idx, features)
     return out.reshape(B, H, W, C)
