@@ -69,6 +69,9 @@ class ModelConfig:
     # (train_pandaset.py:120, train_with_fusion_ablation.py:36); None = all.
     camera_fpn_stages: Optional[Tuple[str, ...]] = ("stage3", "stage4", "stage5")
     output_mode: str = "same"  # "same" | "x4"
+    # Route the weighted-fusion gate through the fused Pallas kernel
+    # (ops/fusion_pallas.py) instead of the XLA ops.
+    use_pallas_fusion: bool = False
     camera: CameraEncoderConfig = field(default_factory=CameraEncoderConfig)
     lidar: LidarEncoderConfig = field(default_factory=LidarEncoderConfig)
     # Compute dtype: bf16 rides the MXU at full rate on TPU; params stay fp32.

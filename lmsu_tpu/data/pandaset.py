@@ -100,7 +100,9 @@ class PandaSetDataset:
     def _load_image(self, path: str) -> np.ndarray:
         from PIL import Image
         img = Image.open(path).convert("RGB")
-        img = img.resize(self.image_size, Image.BILINEAR)
+        # PIL takes (width, height); image_size is (H, W).
+        img = img.resize((self.image_size[1], self.image_size[0]),
+                         Image.BILINEAR)
         # uint8 transport; the model divides by 255 on device — numerically
         # the same values as the reference's host-side float32/255
         # (pandaset_dataset.py:110).

@@ -91,24 +91,40 @@ class PrefetchLoader:
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _END = object()
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for b in self.batcher:
-                    q.put(b)
-                q.put(_END)
+                    if not _put(b):
+                        return  # consumer abandoned the epoch
+                _put(_END)
             except BaseException as e:  # surface, never silently end epoch
-                q.put(e)
+                _put(e)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                return
-            if isinstance(item, BaseException):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            # Early break / GeneratorExit: release the producer so it does
+            # not leak a thread pinning decoded batches.
+            stop.set()
 
 
 def make_loader(dataset, batch_size: int, shuffle: bool, seed: int = 0,

@@ -29,10 +29,12 @@ class Predictor:
         self.model = create_model(config)
         self.variables = jax.device_put(variables)
         self._forward = jax.jit(
-            lambda v, i, p: self.model.apply(v, i, p, train=False))
+            lambda v, i, p, pv: self.model.apply(v, i, p, train=False,
+                                                 point_valid=pv))
         self._predict = jax.jit(
-            lambda v, i, p: jnp.argmax(
-                self.model.apply(v, i, p, train=False), axis=-1))
+            lambda v, i, p, pv: jnp.argmax(
+                self.model.apply(v, i, p, train=False, point_valid=pv),
+                axis=-1))
 
     @classmethod
     def from_checkpoint(cls, path: str, config: ModelConfig,
@@ -50,15 +52,28 @@ class Predictor:
         from lmsu_tpu.utils.torch_compat import load_torch_checkpoint
         return cls(config, load_torch_checkpoint(path, config))
 
-    def __call__(self, images, points) -> jnp.ndarray:
-        """Batched logits [B, H, W, num_classes]."""
-        return self._forward(self.variables, jnp.asarray(images),
-                             jnp.asarray(points))
+    def __call__(self, images, points,
+                 point_valid=None) -> jnp.ndarray:
+        """Batched logits [B, H, W, num_classes].
 
-    def predict_mask(self, image, points) -> np.ndarray:
+        Pass the pipeline's `point_valid` mask when the points were
+        zero-padded (DataConfig.pad_points_are_valid=False, the default) so
+        serving matches training: without it, pad points count as real
+        returns at the BEV grid centre.
+        """
+        pv = None if point_valid is None else jnp.asarray(point_valid)
+        return self._forward(self.variables, jnp.asarray(images),
+                             jnp.asarray(points), pv)
+
+    def predict_mask(self, image, points, point_valid=None) -> np.ndarray:
         """Single frame -> [H, W] int32 class mask."""
         images = jnp.asarray(image)[None] if np.ndim(image) == 3 \
             else jnp.asarray(image)
         pts = jnp.asarray(points)[None] if np.ndim(points) == 2 \
             else jnp.asarray(points)
-        return np.asarray(self._predict(self.variables, images, pts))[0]
+        pv = None
+        if point_valid is not None:
+            pv = jnp.asarray(point_valid)
+            if pv.ndim == 1:
+                pv = pv[None]
+        return np.asarray(self._predict(self.variables, images, pts, pv))[0]

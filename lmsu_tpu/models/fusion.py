@@ -276,13 +276,19 @@ class CompleteSegmentationModel(nn.Module):
         if cam_feat.shape[1:3] != lidar_feat.shape[1:3]:
             lidar_feat = resize_bilinear(lidar_feat, cam_feat.shape[1:3])
 
+        # Non-concat fusions output at the camera-feature width — the FPN's
+        # target channels in multiscale mode, else the raw encoder output
+        # (reference: fusion_module.py:206-222 uses cam_feat_channels).
+        cam_ch = cam_feat.shape[-1]
         if cfg.fusion_type == "concat":
             fusion = ConcatenationFusion(cfg.fusion_out_channels,
                                          name="fusion", **kw)
         elif cfg.fusion_type == "minimal":
-            fusion = MinimalFusion(cfg.camera_fpn_channels, name="fusion", **kw)
+            fusion = MinimalFusion(cam_ch, name="fusion", **kw)
         elif cfg.fusion_type == "weighted":
-            fusion = WeightedFusion(cfg.camera_fpn_channels, name="fusion", **kw)
+            fusion = WeightedFusion(cam_ch,
+                                    use_pallas=cfg.use_pallas_fusion,
+                                    name="fusion", **kw)
         else:
             raise ValueError(f"Unknown fusion_type: {cfg.fusion_type}")
         pre_fusion, fused = fusion(cam_feat, lidar_feat, train)

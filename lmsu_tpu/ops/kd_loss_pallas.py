@@ -26,6 +26,7 @@ from typing import Dict, Mapping, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -139,14 +140,33 @@ def kd_total_loss_fused(
     beta_feature: float,
     feature_taps: Sequence[str],
     projections: Mapping[str, jnp.ndarray],
+    sample_weight: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """Drop-in for ops/losses.py::kd_total_loss with Pallas feature matching."""
+    """Drop-in for ops/losses.py::kd_total_loss with Pallas feature matching.
+
+    Per-sample weighting folds into the kernel algebraically: with binary
+    weights w, sum(w*(S-TP)^2) == sum((w*S - (w*T)P)^2), so weighted rows are
+    pre-masked and the mean is rescaled from all-rows to kept-rows.
+    """
     ce = weighted_cross_entropy(student_logits, targets, class_weights,
                                 ignore_index)
-    kl = kd_logit_kl(student_logits, teacher_logits, temperature)
+    kl = kd_logit_kl(student_logits, teacher_logits, temperature,
+                     sample_weight)
     if feature_taps:
-        fms = [fused_feature_mse(student_feats[tap], teacher_feats[tap],
-                                 projections[tap]) for tap in feature_taps]
+        fms = []
+        for tap in feature_taps:
+            s, t = student_feats[tap], teacher_feats[tap]
+            if sample_weight is None:
+                fms.append(fused_feature_mse(s, t, projections[tap]))
+            else:
+                w = sample_weight.astype(s.dtype)
+                wb = w.reshape((-1,) + (1,) * (s.ndim - 1))
+                scale = (np.prod(s.shape[:-1]) /
+                         jnp.maximum(jnp.sum(w.astype(jnp.float32)), 1e-12) /
+                         float(np.prod(s.shape[1:-1])))
+                fms.append(fused_feature_mse(
+                    s * wb, t * w.reshape((-1,) + (1,) * (t.ndim - 1)),
+                    projections[tap]) * scale)
         fm = jnp.mean(jnp.stack(fms))
     else:
         fm = jnp.zeros((), jnp.float32)

@@ -45,27 +45,45 @@ def weighted_cross_entropy(
     return jnp.sum(nll * w) / jnp.maximum(total_w, 1e-12)
 
 
+def _sample_weighted_mean(per_position: jnp.ndarray,
+                          sample_weight: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Mean over [B, ...] values, weighting dim 0 by sample_weight [B].
+
+    Used to exclude the duplicated padding samples of a final partial batch
+    (data/pipeline.py) from losses that are not masked via labels.
+    """
+    if sample_weight is None:
+        return jnp.mean(per_position)
+    w = sample_weight.astype(jnp.float32)
+    per_sample = jnp.mean(per_position.reshape(per_position.shape[0], -1),
+                          axis=1)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1e-12)
+
+
 def kd_logit_kl(
     student_logits: jnp.ndarray,
     teacher_logits: jnp.ndarray,
     temperature: float = 2.0,
+    sample_weight: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Hinton-style distillation KL: T^2 * KL(softmax(t/T) || softmax(s/T)).
 
-    Mean over all spatial positions; computed in fp32 for stability.
+    Mean over all spatial positions (optionally weighted per sample);
+    computed in fp32 for stability.
     """
     T = temperature
     s = jax.nn.log_softmax(student_logits.astype(jnp.float32) / T, axis=-1)
     t = jax.nn.log_softmax(teacher_logits.astype(jnp.float32) / T, axis=-1)
     p_t = jnp.exp(t)
     kl = jnp.sum(p_t * (t - s), axis=-1)
-    return (T * T) * jnp.mean(kl)
+    return (T * T) * _sample_weighted_mean(kl, sample_weight)
 
 
 def feature_matching_loss(
     student_feat: jnp.ndarray,
     teacher_feat: jnp.ndarray,
     projection: Optional[jnp.ndarray] = None,
+    sample_weight: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """MSE between student and (optionally linearly projected) teacher feature.
 
@@ -77,7 +95,7 @@ def feature_matching_loss(
     s = student_feat.astype(jnp.float32)
     if projection is not None:
         t = jnp.einsum("...c,cd->...d", t, projection.astype(jnp.float32))
-    return jnp.mean(jnp.square(s - t))
+    return _sample_weighted_mean(jnp.square(s - t), sample_weight)
 
 
 def kd_total_loss(
@@ -94,17 +112,24 @@ def kd_total_loss(
     beta_feature: float,
     feature_taps: Sequence[str],
     projections: Optional[Mapping[str, jnp.ndarray]] = None,
+    sample_weight: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
-    """CE + alpha*KL + beta*mean(feature MSE). Returns (loss, parts)."""
+    """CE + alpha*KL + beta*mean(feature MSE). Returns (loss, parts).
+
+    sample_weight [B] excludes padding samples (CE excludes them via
+    ignore_index labels already).
+    """
     ce = weighted_cross_entropy(student_logits, targets, class_weights,
                                 ignore_index)
-    kl = kd_logit_kl(student_logits, teacher_logits, temperature)
+    kl = kd_logit_kl(student_logits, teacher_logits, temperature,
+                     sample_weight)
     if feature_taps:
         fms = []
         for tap in feature_taps:
             proj = projections.get(tap) if projections is not None else None
             fms.append(feature_matching_loss(student_feats[tap],
-                                             teacher_feats[tap], proj))
+                                             teacher_feats[tap], proj,
+                                             sample_weight))
         fm = jnp.mean(jnp.stack(fms))
     else:
         fm = jnp.zeros((), jnp.float32)

@@ -130,7 +130,17 @@ def _bwd(grid_size, residuals, g):
     cell_max = jnp.take_along_axis(out_flat, idx[..., None], axis=1)
     cell_g = jnp.take_along_axis(g_flat, idx[..., None], axis=1)
     winner = (features == cell_max) & valid[..., None]
-    d_features = jnp.where(winner, cell_g, 0.0).astype(features.dtype)
+    # Ties split the cell cotangent evenly (matching the XLA scatter-max
+    # VJP). Ties are common in practice: post-ReLU zeros and duplicated
+    # zero-padded points all collide at identical feature values.
+    counts = jnp.zeros((B, H * W, C), jnp.float32).at[
+        jnp.arange(B)[:, None, None],
+        idx[..., None],
+        jnp.arange(C)[None, None, :]].add(winner.astype(jnp.float32))
+    per_point_count = jnp.take_along_axis(counts, idx[..., None], axis=1)
+    d_features = jnp.where(
+        winner, cell_g / jnp.maximum(per_point_count, 1.0), 0.0
+    ).astype(features.dtype)
     return d_features, None, None
 
 

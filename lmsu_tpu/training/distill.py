@@ -41,13 +41,16 @@ from lmsu_tpu.training.trainer import Trainer, TrainState
 
 def _tap_channels(model, config: ModelConfig) -> Dict[str, int]:
     """Channel widths of each KD tap for a given model config."""
-    cam = config.camera_fpn_channels
+    if config.camera.return_multiscale:
+        cam = config.camera_fpn_channels
+    else:  # camera_feat is the raw stage5 output (fusion_module.py:236)
+        cam = config.camera.channels[2]
     lidar = config.lidar.feature_dim
     if config.fusion_type == "concat":
         pre = cam + lidar
         post = config.fusion_out_channels
     else:
-        pre = post = config.camera_fpn_channels
+        pre = post = cam
     return {"camera_feat": cam, "lidar_feat": lidar,
             "pre_fusion": pre, "post_fusion": post,
             "logits": config.num_classes}
@@ -123,19 +126,16 @@ class DistillationTrainer(Trainer):
                 return_intermediates=True, mutable=["batch_stats"], **kwargs)
             if kd.use_pallas:
                 from lmsu_tpu.ops.kd_loss_pallas import kd_total_loss_fused
-                loss, parts = kd_total_loss_fused(
-                    s_logits, t_logits, s_feats, t_feats,
-                    batch["segmentation"], class_weights=self.class_weights,
-                    ignore_index=ignore_index, temperature=kd.temperature,
-                    alpha_kl=kd.alpha_kl, beta_feature=kd.beta_feature,
-                    feature_taps=kd.feature_taps, projections=params["proj"])
+                loss_impl = kd_total_loss_fused
             else:
-                loss, parts = kd_total_loss(
-                    s_logits, t_logits, s_feats, t_feats,
-                    batch["segmentation"], class_weights=self.class_weights,
-                    ignore_index=ignore_index, temperature=kd.temperature,
-                    alpha_kl=kd.alpha_kl, beta_feature=kd.beta_feature,
-                    feature_taps=kd.feature_taps, projections=params["proj"])
+                loss_impl = kd_total_loss
+            loss, parts = loss_impl(
+                s_logits, t_logits, s_feats, t_feats,
+                batch["segmentation"], class_weights=self.class_weights,
+                ignore_index=ignore_index, temperature=kd.temperature,
+                alpha_kl=kd.alpha_kl, beta_feature=kd.beta_feature,
+                feature_taps=kd.feature_taps, projections=params["proj"],
+                sample_weight=batch.get("sample_mask"))
             cm = confusion_matrix(s_logits, batch["segmentation"],
                                   metrics_classes, ignore_index)
             return loss, (mut["batch_stats"], cm, parts)
@@ -208,7 +208,8 @@ class DistillationTrainer(Trainer):
                     ignore_index=ignore_index, temperature=kd.temperature,
                     alpha_kl=kd.alpha_kl, beta_feature=kd.beta_feature,
                     feature_taps=kd.feature_taps,
-                    projections=params["proj"])
+                    projections=params["proj"],
+                    sample_weight=batch.get("sample_mask"))
                 cm = confusion_matrix(s_logits, batch["segmentation"],
                                       metrics_classes, ignore_index)
                 return loss, (mut["batch_stats"], cm, parts)
@@ -239,20 +240,21 @@ class DistillationTrainer(Trainer):
             if hasattr(self.train_loader, "batcher") else None
         if n is None:
             raise ValueError("cache_teacher requires a Batcher-based loader")
-        if self.teacher_config.output_mode != "same":
-            raise NotImplementedError(
-                "cache_teacher supports output_mode='same' (logits at the "
-                "fused resolution)")
-        t_ch = _tap_channels(self.teacher, self.teacher_config)
-        # All taps (and 'same'-mode logits) live at the fused BEV
-        # resolution = image/4 (the FPN target scale; lidar_feat is the
-        # post-alignment tensor, fusion_module.py:239-240 semantics).
-        fh = fw = self.config.data.image_size[0] // 4
+        # Infer exact tap/logit shapes from the teacher itself — robust to
+        # output_mode, FPN stage choices, and non-square images.
+        ih, iw = self.config.data.image_size
+        img_spec = jax.ShapeDtypeStruct((1, ih, iw, 3), jnp.float32)
+        pts_spec = jax.ShapeDtypeStruct(
+            (1, self.config.data.max_points,
+             self.config.model.lidar.input_dim), jnp.float32)
+        logits_s, feats_s = jax.eval_shape(
+            lambda i, p: self.teacher.apply(
+                self.teacher_variables, i, p, train=False,
+                return_intermediates=True), img_spec, pts_spec)
         dt = self._tap_dtype()
-        cache = {"logits": jnp.zeros(
-            (n, fh, fw, self.config.model.num_classes), dt)}
+        cache = {"logits": jnp.zeros((n,) + logits_s.shape[1:], dt)}
         for tap in self.kd.feature_taps:
-            cache[tap] = jnp.zeros((n, fh, fw, t_ch[tap]), dt)
+            cache[tap] = jnp.zeros((n,) + feats_s[tap].shape[1:], dt)
         # Cache entries are keyed by sample index, so any epoch order works.
         for batch in self.train_loader:
             batch = shard_batch(batch, self.mesh)

@@ -71,15 +71,18 @@ def main(argv=None):
 
     _, val_ds = create_datasets(dcfg)
     loader = make_loader(val_ds, args.batch_size, shuffle=False)
-    predict = jax.jit(lambda i, pts: jnp.argmax(
-        model.apply(variables, i, pts, train=False), axis=-1))
+    predict = jax.jit(lambda i, pts, pv: jnp.argmax(
+        model.apply(variables, i, pts, train=False, point_valid=pv),
+        axis=-1))
 
     os.makedirs(args.output_dir, exist_ok=True)
     done = 0
     ious = []
     for batch in loader:
+        pv = (jnp.asarray(batch["point_valid"])
+              if "point_valid" in batch else None)
         preds = np.asarray(predict(jnp.asarray(batch["image"]),
-                                   jnp.asarray(batch["points"])))
+                                   jnp.asarray(batch["points"]), pv))
         for b in range(len(preds)):
             if not batch["sample_mask"][b] or done >= args.num_samples:
                 continue

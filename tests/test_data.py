@@ -120,6 +120,28 @@ class TestBatcher:
         e1 = [x["segmentation"].sum() for x in b]
         assert e0 != e1
 
+    def test_prefetch_early_abandon_releases_producer(self):
+        import threading
+        import time
+        ds = self._ds(8)
+        loader = make_loader(ds, 2, shuffle=False, prefetch=1)
+        before = threading.active_count()
+        for batch in loader:
+            break  # abandon mid-epoch
+        deadline = time.time() + 5
+        while threading.active_count() > before and time.time() < deadline:
+            time.sleep(0.05)
+        assert threading.active_count() <= before
+
+    def test_prefetch_propagates_producer_errors(self):
+        class Broken:
+            def __len__(self):
+                return 4
+            def __getitem__(self, i):
+                raise RuntimeError("decode failed")
+        with pytest.raises(RuntimeError, match="decode failed"):
+            list(make_loader(Broken(), 2, shuffle=False))
+
     def test_prefetch_loader_yields_same(self):
         ds = self._ds(6)
         direct = list(Batcher(ds, 2))

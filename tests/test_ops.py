@@ -122,6 +122,21 @@ class TestLosses:
         assert ours > 0
         np.testing.assert_allclose(ours, ref, rtol=1e-3)
 
+    def test_sample_weight_excludes_padding(self, rng):
+        """KL/MSE with a 0-weighted duplicate row equal the unpadded values."""
+        from lmsu_tpu.ops.losses import kd_logit_kl, feature_matching_loss
+        s2 = jnp.asarray(rng.normal(0, 1, (2, 4, 4, 3)).astype(np.float32))
+        t2 = jnp.asarray(rng.normal(0, 1, (2, 4, 4, 3)).astype(np.float32))
+        s3 = jnp.concatenate([s2, s2[:1]])  # padded batch: repeat sample 0
+        t3 = jnp.concatenate([t2, t2[:1]])
+        w = jnp.asarray([1.0, 1.0, 0.0])
+        np.testing.assert_allclose(
+            float(kd_logit_kl(s3, t3, 2.0, sample_weight=w)),
+            float(kd_logit_kl(s2, t2, 2.0)), rtol=1e-6)
+        np.testing.assert_allclose(
+            float(feature_matching_loss(s3, t3, sample_weight=w)),
+            float(feature_matching_loss(s2, t2)), rtol=1e-6)
+
     def test_feature_matching_with_projection(self, rng):
         s = jnp.asarray(rng.normal(0, 1, (2, 4, 4, 8)).astype(np.float32))
         t = jnp.asarray(rng.normal(0, 1, (2, 4, 4, 16)).astype(np.float32))

@@ -48,6 +48,24 @@ class TestScatterMaxPallas:
         gb = jax.grad(loss_pl)(feats)
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
 
+    def test_tied_points_split_gradient_like_xla(self):
+        """Points with identical features in one cell share the cotangent
+        evenly — post-ReLU zeros and duplicated pad points tie constantly."""
+        feats = jnp.ones((1, 5, 4))
+        idx = jnp.zeros((1, 5), jnp.int32)
+        valid = jnp.ones((1, 5), bool)
+
+        def loss_xla(f):
+            return jnp.sum(bev_scatter_max(f, idx, valid, (2, 2)))
+
+        def loss_pl(f):
+            return jnp.sum(bev_scatter_max_pallas(f, idx, valid, (2, 2)))
+
+        ga = jax.grad(loss_xla)(feats)
+        gb = jax.grad(loss_pl)(feats)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
+        np.testing.assert_allclose(float(gb.sum()), 4.0, atol=1e-6)  # 1/cell/ch
+
     def test_jit_under_jit(self, rng):
         feats, idx, valid, HW = self._data(rng, B=1, N=50, C=8, HW=(4, 4))
         f = jax.jit(lambda x: bev_scatter_max_pallas(x, idx, valid, HW))
