@@ -163,6 +163,10 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 10
     metrics_num_classes: int = 2   # reference quirk: hard-coded 2 (trainer.py:78)
+    # Enable jax_debug_nans for the run: any NaN/Inf produced inside the
+    # jitted step raises at the originating op (SURVEY.md §5: the TPU-native
+    # stand-in for sanitizers the reference lacks).
+    debug_nans: bool = False
     kd: KDConfig = field(default_factory=KDConfig)
 
 

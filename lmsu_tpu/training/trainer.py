@@ -64,6 +64,8 @@ class Trainer:
         self.model = model if model is not None else create_model(config.model)
 
         tc = config.train
+        if tc.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.steps_per_epoch = max(1, len(train_loader))
         self.tx = make_optimizer(tc, self.steps_per_epoch)
 

@@ -1,0 +1,105 @@
+"""PandaSet pipeline end-to-end in CI: fabricated on-disk scenes -> indexing
+-> decode (jpeg + pandas pickles + native ops) -> training -> artifacts.
+
+The reference's test_pandaset_dataset.py needs a real dataset at a hard-coded
+path (SURVEY.md §4); here the fixture IS the on-disk layout contract.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lmsu_tpu.config import (CameraEncoderConfig, DataConfig, ExperimentConfig,
+                             LidarEncoderConfig, ModelConfig, TrainConfig)
+from lmsu_tpu.data import (PandaSetDataset, create_pandaset_datasets,
+                           make_loader)
+from lmsu_tpu.training import Trainer
+
+
+@pytest.fixture(scope="module")
+def pandaset_root(tmp_path_factory):
+    """Two scenes x 4 frames; scene 002 has one frame missing its semseg."""
+    pd = pytest.importorskip("pandas")
+    from PIL import Image
+    root = tmp_path_factory.mktemp("pandaset")
+    rng = np.random.default_rng(0)
+    for sid in ("001", "002"):
+        cam = root / sid / "camera" / "front_camera"
+        lid = root / sid / "lidar"
+        seg = root / sid / "annotations" / "semseg"
+        for d in (cam, lid, seg):
+            d.mkdir(parents=True)
+        for f in range(4):
+            fid = f"{f:02d}"
+            Image.fromarray(
+                rng.integers(0, 255, (60, 80, 3)).astype(np.uint8)
+            ).save(cam / f"{fid}.jpg")
+            n = 700  # > max_points in the test config -> downsampling path
+            pd.DataFrame({
+                "x": rng.uniform(-80, 80, n).astype(np.float32),
+                "y": rng.uniform(-80, 80, n).astype(np.float32),
+                "z": rng.uniform(-5, 3, n).astype(np.float32),
+                "i": rng.uniform(0, 1, n).astype(np.float32),
+            }).to_pickle(lid / f"{fid}.pkl")
+            pd.DataFrame({
+                "class": rng.integers(0, 14, n).astype(np.int64)
+            }).to_pickle(seg / f"{fid}.pkl")
+    os.remove(root / "002" / "annotations" / "semseg" / "03.pkl")
+    return str(root)
+
+
+class TestPandaSetE2E:
+    def test_indexing_filters_incomplete_frames(self, pandaset_root):
+        ds = PandaSetDataset(pandaset_root, ["001", "002"],
+                             image_size=(32, 32), grid_size=(8, 8),
+                             max_points=500)
+        assert len(ds) == 7  # 8 frames minus the one missing semseg
+
+    def test_sample_contract(self, pandaset_root):
+        ds = PandaSetDataset(pandaset_root, ["001"], image_size=(32, 32),
+                             grid_size=(8, 8), max_points=500)
+        item = ds[0]
+        assert item["image"].shape == (32, 32, 3)
+        assert item["image"].dtype == np.uint8
+        assert item["points"].shape == (500, 4)
+        assert item["point_valid"].all()  # 700 > 500 -> all sampled real
+        assert item["segmentation"].shape == (8, 8)
+        assert item["sample_token"] == "001_00"
+
+    def test_pad_short_cloud_marks_invalid(self, pandaset_root, tmp_path):
+        ds = PandaSetDataset(pandaset_root, ["001"], image_size=(32, 32),
+                             grid_size=(8, 8), max_points=2000)
+        item = ds[0]
+        assert item["point_valid"].sum() == 700
+        assert not item["point_valid"][700:].any()
+        # reference-quirk mode: padded points count as valid
+        ds2 = PandaSetDataset(pandaset_root, ["001"], image_size=(32, 32),
+                              grid_size=(8, 8), max_points=2000,
+                              pad_points_are_valid=True)
+        assert ds2[0]["point_valid"].all()
+
+    def test_train_one_epoch_with_artifacts(self, pandaset_root, tmp_path):
+        cfg = ExperimentConfig(
+            model=ModelConfig(
+                num_classes=2, fusion_type="concat", fusion_out_channels=32,
+                camera_fpn_channels=16,
+                camera=CameraEncoderConfig(base_channels=4),
+                lidar=LidarEncoderConfig(feature_dim=16, mlp_dims=(8, 16),
+                                         grid_size=(8, 8))),
+            data=DataConfig(dataset="pandaset", root=pandaset_root,
+                            image_size=(32, 32), grid_size=(8, 8),
+                            max_points=500, batch_size=8),
+            train=TrainConfig(num_epochs=1, class_weights=(0.4, 3.5),
+                              save_dir=str(tmp_path / "run")))
+        train_ds, val_ds = create_pandaset_datasets(cfg.data)
+        trainer = Trainer(cfg,
+                          make_loader(train_ds, 8, shuffle=True),
+                          make_loader(val_ds, 8, shuffle=False))
+        trainer.train(log=lambda *a, **k: None)
+        run = cfg.train.save_dir
+        with open(os.path.join(run, "training_history.json")) as f:
+            hist = json.load(f)
+        assert len(hist["val_miou"]) == 1
+        assert os.path.exists(os.path.join(run, "best.ckpt"))
