@@ -101,8 +101,6 @@ def main() -> None:
         return state.replace(step=state.step + 1, params=new_params,
                              batch_stats=new_stats, opt_state=opt_state), loss, cm
 
-    step = jax.jit(kd_step, donate_argnums=0)
-
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(0, 1, (batch, 256, 256, 3)),
                          jnp.float32)
@@ -111,20 +109,35 @@ def main() -> None:
     points = jnp.asarray(pts)
     labels = jnp.asarray(rng.integers(0, 2, (batch, 64, 64)), jnp.int32)
 
-    # Warmup / compile.
-    t0 = time.perf_counter()
-    state, loss, cm = step(state, images, points, labels)
-    jax.block_until_ready(loss)
-    print(f"compile+first step: {time.perf_counter() - t0:.1f}s "
-          f"loss={float(loss):.4f}", file=sys.stderr)
+    # K steps chained in one lax.scan: measures the step's on-chip
+    # throughput. (Per-dispatch python-loop timing adds host-link overhead —
+    # ~2 ms/step through this machine's TPU relay — and the relay memoizes
+    # identical dispatches, so chained state is also the only *sound* way to
+    # time here; see utils/profiling.py.)
+    n_iters = 50 if on_tpu else 3
 
-    n_iters = 50 if on_tpu else 5
+    def scan_step(carry, _):
+        st, cm_total = carry
+        st, loss, cm = kd_step(st, images, points, labels)
+        return (st, cm_total + cm), loss
+
+    @jax.jit
+    def run(st):
+        cm0 = jnp.zeros((2, 2), jnp.int32)
+        (st, cm), losses = jax.lax.scan(scan_step, (st, cm0), None,
+                                        length=n_iters)
+        return st, cm, losses
+
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, loss, cm = step(state, images, points, labels)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
-    step_time = dt / n_iters
+    state, cm, losses = run(state)
+    jax.block_until_ready(losses)
+    print(f"compile+first {n_iters} steps: {time.perf_counter() - t0:.1f}s "
+          f"loss={float(losses[-1]):.4f}", file=sys.stderr)
+
+    t0 = time.perf_counter()
+    state, cm, losses = run(state)
+    jax.block_until_ready(losses)
+    step_time = (time.perf_counter() - t0) / n_iters
     frames_per_sec = batch / step_time
     print(f"kd train step: {step_time * 1e3:.2f} ms -> "
           f"{frames_per_sec:.1f} frames/s/chip", file=sys.stderr)

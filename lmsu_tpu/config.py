@@ -167,6 +167,11 @@ class TrainConfig:
     # jitted step raises at the originating op (SURVEY.md §5: the TPU-native
     # stand-in for sanitizers the reference lacks).
     debug_nans: bool = False
+    # Chain this many train steps in one lax.scan dispatch (1 = off). Stacks
+    # K host batches into [K, B, ...] arrays; amortizes per-step dispatch
+    # latency (the whole inner loop runs on-chip). Numerically identical to
+    # per-batch stepping.
+    scan_steps: int = 1
     kd: KDConfig = field(default_factory=KDConfig)
 
 

@@ -31,6 +31,8 @@ from lmsu_tpu.config import ExperimentConfig
 from lmsu_tpu.models import create_model, init_model
 from lmsu_tpu.ops.losses import weighted_cross_entropy
 from lmsu_tpu.ops.metrics import confusion_matrix, iou_from_confusion
+from jax.sharding import NamedSharding, PartitionSpec as P
+
 from lmsu_tpu.parallel.mesh import (data_sharding, make_mesh, replicate,
                                     replicated_sharding, shard_batch)
 from lmsu_tpu.training import checkpoint as ckpt
@@ -139,9 +141,25 @@ class Trainer:
         self.eval_step = jax.jit(eval_step, in_shardings=(rep, dsh),
                                  out_shardings=(rep, rep))
 
+        # K chained steps in one dispatch over stacked [K, B, ...] batches.
+        def train_scan(state: TrainState, batches):
+            def body(st, batch):
+                st, loss, cm = train_step(st, batch)
+                return st, (loss, cm)
+            state, (losses, cms) = jax.lax.scan(body, state, batches)
+            return state, losses, jnp.sum(cms, axis=0)
+
+        kdsh = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
+        self.train_scan = jax.jit(
+            train_scan, in_shardings=(rep, kdsh),
+            out_shardings=(rep, rep, rep), donate_argnums=0)
+
     # -- epoch loops -------------------------------------------------------
 
     def _run_epoch(self, loader, train: bool) -> Tuple[float, Dict]:
+        K = self.config.train.scan_steps
+        if train and K > 1:
+            return self._run_epoch_scanned(loader, K)
         total_loss, n_batches = 0.0, 0
         cm_total = np.zeros((self.config.train.metrics_num_classes,) * 2,
                             np.int64)
@@ -156,6 +174,41 @@ class Trainer:
             n_batches += 1
         metrics = iou_from_confusion(cm_total)
         return total_loss / max(n_batches, 1), metrics
+
+    def _run_epoch_scanned(self, loader, K: int) -> Tuple[float, Dict]:
+        """Train epoch in chunks of K stacked batches per dispatch.
+
+        Leftover batches (< K at the epoch tail) run through the per-batch
+        step, so any epoch length works without recompilation."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        kdsh = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
+        total_loss, n_batches = 0.0, 0
+        cm_total = np.zeros((self.config.train.metrics_num_classes,) * 2,
+                            np.int64)
+        pending = []
+
+        def flush_chunk(chunk):
+            nonlocal total_loss, n_batches, cm_total
+            stacked = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
+            stacked = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, kdsh), stacked)
+            self.state, losses, cm = self.train_scan(self.state, stacked)
+            total_loss += float(jnp.sum(losses))
+            cm_total += np.asarray(cm, np.int64)
+            n_batches += len(chunk)
+
+        for batch in loader:
+            pending.append(batch)
+            if len(pending) == K:
+                flush_chunk(pending)
+                pending = []
+        for batch in pending:  # epoch tail
+            batch = shard_batch(batch, self.mesh)
+            self.state, loss, cm = self.train_step(self.state, batch)
+            total_loss += float(loss)
+            cm_total += np.asarray(cm, np.int64)
+            n_batches += 1
+        return total_loss / max(n_batches, 1), iou_from_confusion(cm_total)
 
     def train_epoch(self) -> Tuple[float, Dict]:
         return self._run_epoch(self.train_loader, train=True)

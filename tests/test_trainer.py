@@ -81,6 +81,42 @@ class TestTrainerE2E:
         assert int(jax.device_get(t2.state.step)) == int(
             jax.device_get(t1.state.step))
 
+    def test_scanned_epoch_matches_per_batch(self, tmp_path):
+        """scan_steps>1 chains K steps in one dispatch with identical math."""
+        import dataclasses
+        cfg_a = _tiny_config(tmp_path, num_epochs=1)
+        cfg_b = cfg_a.replace(train=dataclasses.replace(
+            cfg_a.train, scan_steps=2,
+            save_dir=str(tmp_path / "run_scan")))
+        results = {}
+        for name, cfg in (("plain", cfg_a), ("scan", cfg_b)):
+            trainer = _make_trainer(cfg)
+            loss, metrics = trainer.train_epoch()
+            results[name] = (loss, metrics["miou"],
+                             jax.device_get(trainer.state.params))
+        assert results["plain"][0] == pytest.approx(results["scan"][0],
+                                                    rel=1e-5)
+        assert results["plain"][1] == results["scan"][1]
+        # Adam normalizes by sqrt(v), so fp32 fusion-order noise on
+        # near-zero gradients still moves params by up to ~lr per step;
+        # bound the drift at lr x steps x margin rather than demanding
+        # bitwise equality (the losses above match to 1e-5).
+        lr, steps, margin = 3e-3, 2, 2.0
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, atol=lr * steps * margin),
+            results["plain"][2], results["scan"][2])
+
+    def test_scanned_epoch_handles_tail(self, tmp_path):
+        """Epoch length not divisible by scan_steps: tail runs per-batch."""
+        import dataclasses
+        cfg = _tiny_config(tmp_path, num_epochs=1)
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train, scan_steps=3))
+        trainer = _make_trainer(cfg)  # 16 samples / batch 8 = 2 batches
+        loss, metrics = trainer.train_epoch()
+        assert np.isfinite(loss)
+        assert int(jax.device_get(trainer.state.step)) == 2
+
     def test_eval_is_deterministic(self, tmp_path):
         cfg = _tiny_config(tmp_path, num_epochs=1)
         trainer = _make_trainer(cfg)
