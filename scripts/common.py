@@ -28,6 +28,8 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-val", type=int, default=None)
     p.add_argument("--resume", action="store_true",
                    help="resume from <save_dir>/latest.ckpt if present")
+    p.add_argument("--scan-steps", type=int, default=None,
+                   help="chain K train steps per dispatch (lax.scan)")
     p.add_argument("--num-workers", type=int, default=None, help="unused; "
                    "kept for reference CLI familiarity (prefetch is threaded)")
 
@@ -52,6 +54,8 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         train_kw["save_dir"] = args.save_dir
     if args.seed is not None:
         train_kw["seed"] = args.seed
+    if getattr(args, "scan_steps", None) is not None:
+        train_kw["scan_steps"] = args.scan_steps
     return cfg.replace(
         data=dataclasses.replace(cfg.data, **data_kw),
         train=dataclasses.replace(cfg.train, **train_kw))

@@ -115,6 +115,33 @@ class TestDistillationE2E:
                                                 "post_fusion"}
         assert losses["cached"] == pytest.approx(losses["inloop"], rel=1e-4)
 
+    def test_kd_checkpoint_resume(self, tmp_path):
+        """KD state ({'model','proj'} params + KD opt_state) round-trips."""
+        import os
+        cfg = _tiny_cfg(tmp_path)
+        train_ds, val_ds = create_datasets(cfg.data)
+        t1 = DistillationTrainer(
+            cfg, make_loader(train_ds, 8, shuffle=True),
+            make_loader(val_ds, 8, shuffle=False))
+        t1.train(log=lambda *a, **k: None)
+        p_before = jax.device_get(t1.state.params)
+
+        t2 = DistillationTrainer(
+            cfg, make_loader(train_ds, 8, shuffle=True),
+            make_loader(val_ds, 8, shuffle=False))
+        start = t2.load_checkpoint(
+            os.path.join(cfg.train.save_dir, "latest.ckpt"))
+        assert start == 1
+        p_after = jax.device_get(t2.state.params)
+        jax.tree_util.tree_map(np.testing.assert_array_equal,
+                               p_before, p_after)
+        # the restored student serves through the model-only loader too
+        from lmsu_tpu.training.checkpoint import load_model_variables
+        v = load_model_variables(
+            os.path.join(cfg.train.save_dir, "best.ckpt"))
+        assert set(v) == {"params", "batch_stats"}
+        assert "camera_encoder" in v["params"]
+
     def test_eval_uses_student_only(self, tmp_path):
         cfg = _tiny_cfg(tmp_path)
         train_ds, val_ds = create_datasets(cfg.data)
