@@ -34,6 +34,10 @@ class CameraEncoderConfig:
     return_multiscale: bool = True
     # Width multiplier lets the same definition serve as a larger KD teacher.
     width_mult: float = 1.0
+    # Rematerialize stages in the backward pass: trades (cheap, low-MXU-
+    # utilization) recompute for HBM traffic of the 6x-expanded 128^2/64^2
+    # activations — the measured bottleneck of the training step.
+    remat: bool = False
 
     @property
     def channels(self) -> Tuple[int, int, int]:

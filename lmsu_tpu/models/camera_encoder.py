@@ -46,18 +46,22 @@ class TwinLiteEncoder(nn.Module):
                  ) -> Union[jnp.ndarray, Dict[str, jnp.ndarray]]:
         b1, b2, b4 = self.config.channels
         kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        Stage = InvertedResidual
+        if self.config.remat:
+            # static_argnums: `train` (arg 2 incl. self) switches BN mode.
+            Stage = nn.remat(InvertedResidual, static_argnums=(2,))
         x = ConvBNAct(b1, (3, 3), strides=(2, 2), act=relu6,
                       name="stem", **kw)(images, train)
-        x1 = InvertedResidual(b1, (1, 1), expansion_ratio=1,
-                              name="stage1", **kw)(x, train)
-        x2 = InvertedResidual(b2, (2, 2), expansion_ratio=6,
-                              name="stage2", **kw)(x1, train)
-        x3 = InvertedResidual(b2, (1, 1), expansion_ratio=6,
-                              name="stage3", **kw)(x2, train)
-        x4 = InvertedResidual(b4, (2, 2), expansion_ratio=6,
-                              name="stage4", **kw)(x3, train)
-        x5 = InvertedResidual(b4, (1, 1), expansion_ratio=6,
-                              name="stage5", **kw)(x4, train)
+        x1 = Stage(b1, (1, 1), expansion_ratio=1,
+                   name="stage1", **kw)(x, train)
+        x2 = Stage(b2, (2, 2), expansion_ratio=6,
+                   name="stage2", **kw)(x1, train)
+        x3 = Stage(b2, (1, 1), expansion_ratio=6,
+                   name="stage3", **kw)(x2, train)
+        x4 = Stage(b4, (2, 2), expansion_ratio=6,
+                   name="stage4", **kw)(x3, train)
+        x5 = Stage(b4, (1, 1), expansion_ratio=6,
+                   name="stage5", **kw)(x4, train)
         if self.config.return_multiscale:
             return {"stage2": x2, "stage3": x3, "stage4": x4, "stage5": x5}
         return x5
