@@ -181,6 +181,25 @@ class TestCompleteModel:
         kernel_zeros = [k for k in zero_grads if "kernel" in k]
         assert kernel_zeros == [], f"dead kernels: {kernel_zeros}"
 
+    def test_lidar_grid_camera_alignment(self, rng):
+        """LiDAR grid coarser than the camera feature map: the model resizes
+        the BEV features to the camera resolution before fusion (reference:
+        fusion_module.py:239-240; spec test_lidar_encoder.py:183-207)."""
+        cfg = ModelConfig(
+            num_classes=2, fusion_type="concat", fusion_out_channels=32,
+            camera_fpn_channels=16,
+            camera=CameraEncoderConfig(base_channels=4),
+            lidar=LidarEncoderConfig(feature_dim=16, mlp_dims=(8, 16),
+                                     grid_size=(8, 8)))  # camera gives 16x16
+        m = create_model(cfg)
+        img = jnp.asarray(rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32))
+        pts = jnp.asarray(rng.normal(0, 20, (1, 200, 4)).astype(np.float32))
+        v = init_model(m, jax.random.PRNGKey(0), image_size=(64, 64),
+                       num_points=200)
+        logits, inter = m.apply(v, img, pts, return_intermediates=True)
+        assert logits.shape == (1, 16, 16, 2)
+        assert inter["lidar_feat"].shape == (1, 16, 16, 16)  # post-resize
+
     def test_uint8_image_input_matches_float(self, small_model_config, rng):
         """uint8 transport images produce the same logits as float/255."""
         m = create_model(small_model_config)
