@@ -115,6 +115,24 @@ class TestDistillationE2E:
                                                 "post_fusion"}
         assert losses["cached"] == pytest.approx(losses["inloop"], rel=1e-4)
 
+    def test_scanned_kd_epoch_matches(self, tmp_path):
+        import dataclasses
+        cfg_a = _tiny_cfg(tmp_path)
+        cfg_a = cfg_a.replace(data=dataclasses.replace(
+            cfg_a.data, synthetic_num_train=16))  # 2 batches -> 1 scan chunk
+        cfg_b = cfg_a.replace(train=dataclasses.replace(
+            cfg_a.train, scan_steps=2, save_dir=str(tmp_path / "kd_scan")))
+        losses = {}
+        for name, cfg in (("plain", cfg_a), ("scan", cfg_b)):
+            train_ds, val_ds = create_datasets(cfg.data)
+            t = DistillationTrainer(
+                cfg, make_loader(train_ds, 8, shuffle=True),
+                make_loader(val_ds, 8, shuffle=False))
+            losses[name], _ = t.train_epoch()
+            assert set(t.last_loss_parts) == {"ce", "kl", "feature_mse",
+                                              "total"}
+        assert losses["plain"] == pytest.approx(losses["scan"], rel=1e-4)
+
     def test_kd_checkpoint_resume(self, tmp_path):
         """KD state ({'model','proj'} params + KD opt_state) round-trips."""
         import os
