@@ -46,23 +46,31 @@ class TestPresets:
 
 
 class TestPadPointQuirk:
-    def test_zero_padded_points_hit_grid_centre_when_valid(self, rng):
-        """Reference quirk (pandaset_dataset.py:124-126): zero-pad points
-        pass the range check and scatter at the grid-centre cell. With no
-        point_valid mask (reference behavior) the centre cell is touched;
-        masking them removes the artifact."""
+    def test_zero_padded_points_are_valid_at_grid_centre(self):
+        """Reference quirk (pandaset_dataset.py:124-126 + lidar_encoder.py
+        :42-55): zero-pad points pass the range check and are assigned the
+        grid-centre cell, so without a point_valid mask they scatter as if
+        they were real returns at (0, 0)."""
+        from lmsu_tpu.ops.scatter import points_to_bev_indices
+        H = W = 8
+        pads = jnp.zeros((1, 5, 2))
+        idx, valid = points_to_bev_indices(
+            pads, (H, W), (-50, -50, -5, 50, 50, 3))
+        assert bool(valid.all())  # the quirk: pads count as in-range
+        centre = 3 * W + 3  # trunc((0+50)/100 * 7) = 3
+        assert (np.asarray(idx) == centre).all()
+
+    def test_point_valid_mask_removes_pad_features(self, rng):
+        """Masked pads contribute nothing, even when a real point would."""
         cfg = LidarEncoderConfig(feature_dim=8, mlp_dims=(8,), grid_size=(8, 8))
         enc = LiDAREncoder(cfg)
-        # one real out-of-centre point + 49 zero pads
+        # a real near-centre point with nonzero features + 49 zero pads
         pts = np.zeros((1, 50, 4), np.float32)
-        pts[0, 0] = [40.0, 40.0, 0.0, 0.5]
+        pts[0, 0] = [1.0, 1.0, -1.0, 0.9]
         pts = jnp.asarray(pts)
         v = enc.init(jax.random.PRNGKey(0), pts)
-
-        out_quirk = enc.apply(v, pts)  # reference behavior: pads are valid
-        # centre cell for (0,0): col=row=trunc((0+50)/100*7)=3
-        assert float(jnp.abs(out_quirk[0, 3, 3]).max()) > 0
-
-        mask = jnp.asarray(np.arange(50)[None, :] < 1)
-        out_masked = enc.apply(v, pts, point_valid=mask)
-        assert float(jnp.abs(out_masked[0, 3, 3]).max()) == 0
+        out_all = enc.apply(v, pts)
+        mask_none = jnp.zeros((1, 50), bool)
+        out_none = enc.apply(v, pts, point_valid=mask_none)
+        assert float(jnp.abs(out_all).max()) > 0
+        assert float(jnp.abs(out_none).max()) == 0
