@@ -12,6 +12,7 @@ no KD at all, so the fused KD step here does strictly more work per frame
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -121,7 +122,7 @@ def main() -> None:
         st, loss, cm = kd_step(st, images, points, labels)
         return (st, cm_total + cm), loss
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=0)
     def run(st):
         cm0 = jnp.zeros((2, 2), jnp.int32)
         (st, cm), losses = jax.lax.scan(scan_step, (st, cm0), None,

@@ -167,14 +167,18 @@ class TrainConfig:
     seed: int = 0
     log_every: int = 10
     metrics_num_classes: int = 2   # reference quirk: hard-coded 2 (trainer.py:78)
-    # Enable jax_debug_nans for the run: any NaN/Inf produced inside the
-    # jitted step raises at the originating op (SURVEY.md §5: the TPU-native
-    # stand-in for sanitizers the reference lacks).
+    # Enable jax_debug_nans + jax_debug_infs: any NaN/Inf produced inside
+    # the jitted step raises at the originating op (SURVEY.md §5: the
+    # TPU-native stand-in for sanitizers the reference lacks). NOTE: these
+    # are process-global JAX flags — once a Trainer enables them they stay
+    # on for the rest of the process.
     debug_nans: bool = False
     # Chain this many train steps in one lax.scan dispatch (1 = off). Stacks
     # K host batches into [K, B, ...] arrays; amortizes per-step dispatch
-    # latency (the whole inner loop runs on-chip). Numerically identical to
-    # per-batch stepping.
+    # latency (the whole inner loop runs on-chip). Same math as per-batch
+    # stepping, but not bitwise identical: XLA fusion order changes fp32
+    # rounding, which Adam can amplify to ~lr-sized parameter differences
+    # on near-zero gradients (see tests/test_trainer.py).
     scan_steps: int = 1
     kd: KDConfig = field(default_factory=KDConfig)
 

@@ -228,21 +228,24 @@ class DistillationTrainer(Trainer):
         self.train_step_kd_cached = jax.jit(train_step_cached,
                                             donate_argnums=0)
 
-        # K chained KD steps per dispatch (TrainConfig.scan_steps).
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        kdsh = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
+        # K chained KD steps per dispatch (TrainConfig.scan_steps), for both
+        # the in-loop-teacher and cached-teacher variants.
+        def _scan_over(step_fn, extra=()):
+            def scanned(state: TrainState, batches, *args):
+                def body(st, batch):
+                    st, loss, cm, parts = step_fn(st, batch, *args)
+                    return st, (loss, cm, parts)
+                state, (losses, cms, parts) = jax.lax.scan(body, state,
+                                                           batches)
+                last_parts = jax.tree_util.tree_map(lambda x: x[-1], parts)
+                return state, losses, jnp.sum(cms, axis=0), last_parts
+            return jax.jit(scanned,
+                           in_shardings=(rep, self._scan_sharding) + extra,
+                           out_shardings=(rep, rep, rep, rep),
+                           donate_argnums=0)
 
-        def train_scan_kd(state: TrainState, batches):
-            def body(st, batch):
-                st, loss, cm, parts = train_step(st, batch)
-                return st, (loss, cm, parts)
-            state, (losses, cms, parts) = jax.lax.scan(body, state, batches)
-            last_parts = jax.tree_util.tree_map(lambda x: x[-1], parts)
-            return state, losses, jnp.sum(cms, axis=0), last_parts
-
-        self.train_scan_kd = jax.jit(train_scan_kd, in_shardings=(rep, kdsh),
-                                     out_shardings=(rep, rep, rep, rep),
-                                     donate_argnums=0)
+        self.train_scan_kd = _scan_over(train_step)
+        self.train_scan_kd_cached = _scan_over(train_step_cached, (rep,))
 
     def _tap_dtype(self):
         import jax.numpy as jnp
@@ -283,7 +286,7 @@ class DistillationTrainer(Trainer):
         if train and self.kd.cache_teacher and self.teacher_cache is None:
             self._build_teacher_cache()
         K = self.config.train.scan_steps
-        if train and K > 1 and self.teacher_cache is None:
+        if train and K > 1:
             return self._run_epoch_scanned_kd(loader, K)
         total_loss, n = 0.0, 0
         cm_total = np.zeros((self.config.train.metrics_num_classes,) * 2,
@@ -306,37 +309,26 @@ class DistillationTrainer(Trainer):
         return total_loss / max(n, 1), iou_from_confusion(cm_total)
 
     def _run_epoch_scanned_kd(self, loader, K: int):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from lmsu_tpu.ops.metrics import iou_from_confusion
-        from lmsu_tpu.parallel.mesh import shard_batch
-        kdsh = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
-        total_loss, n = 0.0, 0
-        cm_total = np.zeros((self.config.train.metrics_num_classes,) * 2,
-                            np.int64)
-        pending = []
+        cached = self.teacher_cache is not None
 
-        def flush(chunk):
-            nonlocal total_loss, n, cm_total
-            stacked = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
-            stacked = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, kdsh), stacked)
-            self.state, losses, cm, parts = self.train_scan_kd(self.state,
-                                                               stacked)
+        def scan_call(stacked):
+            if cached:
+                self.state, losses, cm, parts = self.train_scan_kd_cached(
+                    self.state, stacked, self.teacher_cache)
+            else:
+                self.state, losses, cm, parts = self.train_scan_kd(
+                    self.state, stacked)
             self.last_loss_parts = {k: float(v) for k, v in parts.items()}
-            total_loss += float(jnp.sum(losses))
-            cm_total += np.asarray(cm, np.int64)
-            n += len(chunk)
+            return losses, cm
 
-        for batch in loader:
-            pending.append(batch)
-            if len(pending) == K:
-                flush(pending)
-                pending = []
-        for batch in pending:
-            batch = shard_batch(batch, self.mesh)
-            self.state, loss, cm, parts = self.train_step_kd(self.state, batch)
+        def step_call(batch):
+            if cached:
+                self.state, loss, cm, parts = self.train_step_kd_cached(
+                    self.state, batch, self.teacher_cache)
+            else:
+                self.state, loss, cm, parts = self.train_step_kd(self.state,
+                                                                 batch)
             self.last_loss_parts = {k: float(v) for k, v in parts.items()}
-            total_loss += float(loss)
-            cm_total += np.asarray(cm, np.int64)
-            n += 1
-        return total_loss / max(n, 1), iou_from_confusion(cm_total)
+            return loss, cm
+
+        return self._run_epoch_chunks(loader, K, scan_call, step_call)

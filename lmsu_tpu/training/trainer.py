@@ -63,11 +63,15 @@ class Trainer:
         self.train_loader = train_loader
         self.val_loader = val_loader
         self.mesh = mesh if mesh is not None else make_mesh(config.mesh)
+        # Stacked [K, B, ...] chunks for scan_steps: batch dim 1 on 'data'.
+        self._scan_sharding = NamedSharding(
+            self.mesh, P(None, self.mesh.axis_names[0]))
         self.model = model if model is not None else create_model(config.model)
 
         tc = config.train
-        if tc.debug_nans:
+        if tc.debug_nans:  # process-global; see TrainConfig.debug_nans note
             jax.config.update("jax_debug_nans", True)
+            jax.config.update("jax_debug_infs", True)
         self.steps_per_epoch = max(1, len(train_loader))
         self.tx = make_optimizer(tc, self.steps_per_epoch)
 
@@ -149,9 +153,8 @@ class Trainer:
             state, (losses, cms) = jax.lax.scan(body, state, batches)
             return state, losses, jnp.sum(cms, axis=0)
 
-        kdsh = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
         self.train_scan = jax.jit(
-            train_scan, in_shardings=(rep, kdsh),
+            train_scan, in_shardings=(rep, self._scan_sharding),
             out_shardings=(rep, rep, rep), donate_argnums=0)
 
     # -- epoch loops -------------------------------------------------------
@@ -176,12 +179,24 @@ class Trainer:
         return total_loss / max(n_batches, 1), metrics
 
     def _run_epoch_scanned(self, loader, K: int) -> Tuple[float, Dict]:
+        def scan_call(stacked):
+            self.state, losses, cm = self.train_scan(self.state, stacked)
+            return losses, cm
+
+        def step_call(batch):
+            self.state, loss, cm = self.train_step(self.state, batch)
+            return loss, cm
+
+        return self._run_epoch_chunks(loader, K, scan_call, step_call)
+
+    def _run_epoch_chunks(self, loader, K: int, scan_call, step_call
+                          ) -> Tuple[float, Dict]:
         """Train epoch in chunks of K stacked batches per dispatch.
 
-        Leftover batches (< K at the epoch tail) run through the per-batch
-        step, so any epoch length works without recompilation."""
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        kdsh = NamedSharding(self.mesh, P(None, self.mesh.axis_names[0]))
+        scan_call(stacked [K, B, ...]) -> (losses [K], cm) and step_call
+        (batch) -> (loss, cm) must advance self.state themselves. Leftover
+        batches (< K at the epoch tail) run through step_call, so any epoch
+        length works without recompilation."""
         total_loss, n_batches = 0.0, 0
         cm_total = np.zeros((self.config.train.metrics_num_classes,) * 2,
                             np.int64)
@@ -191,8 +206,8 @@ class Trainer:
             nonlocal total_loss, n_batches, cm_total
             stacked = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
             stacked = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, kdsh), stacked)
-            self.state, losses, cm = self.train_scan(self.state, stacked)
+                lambda x: jax.device_put(x, self._scan_sharding), stacked)
+            losses, cm = scan_call(stacked)
             total_loss += float(jnp.sum(losses))
             cm_total += np.asarray(cm, np.int64)
             n_batches += len(chunk)
@@ -204,7 +219,7 @@ class Trainer:
                 pending = []
         for batch in pending:  # epoch tail
             batch = shard_batch(batch, self.mesh)
-            self.state, loss, cm = self.train_step(self.state, batch)
+            loss, cm = step_call(batch)
             total_loss += float(loss)
             cm_total += np.asarray(cm, np.int64)
             n_batches += 1

@@ -122,8 +122,13 @@ class TestDistillationE2E:
             cfg_a.data, synthetic_num_train=16))  # 2 batches -> 1 scan chunk
         cfg_b = cfg_a.replace(train=dataclasses.replace(
             cfg_a.train, scan_steps=2, save_dir=str(tmp_path / "kd_scan")))
+        cfg_c = cfg_b.replace(train=dataclasses.replace(
+            cfg_b.train, kd=dataclasses.replace(cfg_b.train.kd,
+                                                cache_teacher=True),
+            save_dir=str(tmp_path / "kd_scan_cache")))
         losses = {}
-        for name, cfg in (("plain", cfg_a), ("scan", cfg_b)):
+        for name, cfg in (("plain", cfg_a), ("scan", cfg_b),
+                          ("scan+cache", cfg_c)):
             train_ds, val_ds = create_datasets(cfg.data)
             t = DistillationTrainer(
                 cfg, make_loader(train_ds, 8, shuffle=True),
@@ -132,6 +137,8 @@ class TestDistillationE2E:
             assert set(t.last_loss_parts) == {"ce", "kl", "feature_mse",
                                               "total"}
         assert losses["plain"] == pytest.approx(losses["scan"], rel=1e-4)
+        assert losses["plain"] == pytest.approx(losses["scan+cache"],
+                                                rel=1e-4)
 
     def test_kd_checkpoint_resume(self, tmp_path):
         """KD state ({'model','proj'} params + KD opt_state) round-trips."""

@@ -47,6 +47,28 @@ class TestCameraEncoder:
         v = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
         assert count_parameters(v["params"]) == 363_520
 
+    def test_remat_option_same_tree_and_grads(self, rng):
+        """remat=True: identical param tree + forward, working backward
+        (guards the nn.remat static_argnums contract across flax versions)."""
+        import dataclasses
+        base = CameraEncoderConfig(base_channels=4)
+        e1 = TwinLiteEncoder(base)
+        e2 = TwinLiteEncoder(dataclasses.replace(base, remat=True))
+        x = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+        v = e1.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(v) == \
+            jax.tree_util.tree_structure(e2.init(jax.random.PRNGKey(0), x))
+        o1 = e1.apply(v, x)
+        o2 = e2.apply(v, x)
+        for k in o1:
+            np.testing.assert_array_equal(np.asarray(o1[k]),
+                                          np.asarray(o2[k]))
+        g = jax.grad(lambda p: jnp.sum(e2.apply(
+            {"params": p, "batch_stats": v["batch_stats"]}, x, train=True,
+            mutable=["batch_stats"])[0]["stage5"] ** 2))(v["params"])
+        assert bool(jnp.isfinite(jnp.concatenate(
+            [a.ravel() for a in jax.tree_util.tree_leaves(g)])).all())
+
 
 class TestLidarEncoder:
     def test_output_shape_and_zero_empty_cells(self, rng):
