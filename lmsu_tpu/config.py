@@ -111,6 +111,11 @@ class DataConfig:
 
     root: str = "data/pandaset"
     dataset: str = "synthetic"  # "pandaset" | "synthetic"
+    # (H, W) everywhere in this framework. NOTE: the reference passes its
+    # image_size tuple straight to PIL.resize, i.e. interprets it as (W, H)
+    # (pandaset_dataset.py:110) — identical at the default square 256x256,
+    # deliberately different for non-square sizes (H, W matches the NHWC
+    # array layout the rest of the pipeline uses).
     image_size: Tuple[int, int] = (256, 256)
     grid_size: Tuple[int, int] = (64, 64)
     max_points: int = 5000
@@ -146,11 +151,17 @@ class KDConfig:
     teacher_checkpoint: Optional[str] = None
     use_pallas: bool = False       # fused Pallas KD-loss kernel on TPU
     # Precompute the frozen teacher's logits + feature taps once over the
-    # training set and keep them in HBM, gathered per step by sample index —
-    # removes the teacher forward from the steady-state step. Valid because
-    # the input pipeline has no augmentation, so teacher outputs are
-    # constant per sample. Memory: ~8 MB/sample bf16 at default taps/widths.
+    # training set, gathered per step by sample index — removes the teacher
+    # forward from the steady-state step. Valid because the pipeline has no
+    # augmentation and per-sample point downsampling is deterministic in
+    # (dataset seed, sample index), so teacher inputs are constant per
+    # sample across epochs. Memory: ~8 MB/sample bf16 at default taps/
+    # widths; caches that exceed KDConfig.cache_hbm_limit_bytes spill to
+    # host RAM and are gathered+transferred per step (see training/distill).
     cache_teacher: bool = False
+    # HBM budget for the device-resident cache. Above this the cache lives
+    # in host RAM (numpy), per-step slices are device_put asynchronously.
+    cache_hbm_limit_bytes: int = 4 << 30
 
 
 @dataclass(frozen=True)

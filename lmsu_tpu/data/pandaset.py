@@ -17,8 +17,12 @@ Differences (deliberate, TPU-host-pipeline driven):
     choose whether padded points participate (the reference treats them as
     real points at the grid centre, pandaset_dataset.py:124-126 — set
     DataConfig.pad_points_are_valid=True for that exact behavior);
-  * per-sample RNG is an explicit Generator, seeded per epoch for
-    reproducible downsampling.
+  * point downsampling is deterministic per sample: the choice is drawn
+    from a Generator seeded by (dataset seed, sample index), so the same
+    sample always yields the same subset regardless of access order, epoch,
+    or resume point. This also makes KDConfig.cache_teacher sound on
+    PandaSet — the teacher cache is filled once, and every later epoch
+    feeds the student the exact point subset the cache was computed on.
 """
 
 from __future__ import annotations
@@ -63,7 +67,7 @@ class PandaSetDataset:
         self.max_points = max_points
         self.pc_range = pc_range
         self.pad_points_are_valid = pad_points_are_valid
-        self._rng = np.random.default_rng(seed)
+        self.seed = seed
         self.samples = self._index_scenes(verbose)
         if verbose:
             print(f"Indexed {len(self.samples)} valid samples "
@@ -135,15 +139,20 @@ class PandaSetDataset:
                                 grid_size=self.grid_size,
                                 pc_range=self.pc_range)
 
+        # Deterministic per-sample seed: downsampling must not depend on
+        # access order / epoch / resume, and the teacher cache (filled once)
+        # must see the same subset as every later epoch.
+        ss = np.random.SeedSequence([self.seed, idx])
         n = pts_full.shape[0]
         native = sample_or_pad_native(
             pts_full, self.max_points,
-            seed=int(self._rng.integers(0, 2 ** 63 - 1)))
+            seed=int(ss.generate_state(1, np.uint64)[0]))
         if native is not None:
             pts, valid = native
         else:
             if n > self.max_points:
-                choice = self._rng.choice(n, self.max_points, replace=False)
+                choice = np.random.default_rng(ss).choice(
+                    n, self.max_points, replace=False)
                 pts = pts_full[choice]
                 n_valid = self.max_points
             else:

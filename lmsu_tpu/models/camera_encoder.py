@@ -29,7 +29,6 @@ class TwinLiteEncoder(nn.Module):
 
     config: CameraEncoderConfig = CameraEncoderConfig()
     dtype: Any = jnp.float32
-    bn_axis_name: Optional[str] = None
 
     @property
     def feature_channels(self) -> Dict[str, int]:
@@ -45,7 +44,7 @@ class TwinLiteEncoder(nn.Module):
     def __call__(self, images: jnp.ndarray, train: bool = False
                  ) -> Union[jnp.ndarray, Dict[str, jnp.ndarray]]:
         b1, b2, b4 = self.config.channels
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype)
         Stage = InvertedResidual
         if self.config.remat:
             # static_argnums: `train` (arg 2 incl. self) switches BN mode.

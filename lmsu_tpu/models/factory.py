@@ -11,10 +11,8 @@ from lmsu_tpu.config import ModelConfig
 from lmsu_tpu.models.fusion import CompleteSegmentationModel
 
 
-def create_model(config: Optional[ModelConfig] = None,
-                 bn_axis_name: Optional[str] = None) -> CompleteSegmentationModel:
-    return CompleteSegmentationModel(config or ModelConfig(),
-                                     bn_axis_name=bn_axis_name)
+def create_model(config: Optional[ModelConfig] = None) -> CompleteSegmentationModel:
+    return CompleteSegmentationModel(config or ModelConfig())
 
 
 def init_model(model: CompleteSegmentationModel, rng: jax.Array,

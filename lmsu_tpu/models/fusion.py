@@ -77,7 +77,6 @@ class CameraFPNLite(nn.Module):
     stages_to_use: Optional[Tuple[str, ...]] = None
     target_size: Optional[Tuple[int, int]] = None
     dtype: Any = jnp.float32
-    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, feats: Dict[str, jnp.ndarray], train: bool = False
@@ -91,12 +90,10 @@ class CameraFPNLite(nn.Module):
         fused = None
         for s in stages:
             x = Conv1x1Block(self.target_channels, dtype=self.dtype,
-                             bn_axis_name=self.bn_axis_name,
                              name=f"lateral_{s}")(feats[s], train)
             x = resize_bilinear(x, hw)
             fused = x if fused is None else fused + x
         return DWSeparableConv(self.target_channels, dtype=self.dtype,
-                               bn_axis_name=self.bn_axis_name,
                                name="post")(fused, train)
 
 
@@ -110,12 +107,11 @@ class ConcatenationFusion(nn.Module):
 
     out_channels: int = 256
     dtype: Any = jnp.float32
-    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, cam_feat: jnp.ndarray, lidar_feat: jnp.ndarray,
                  train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype)
         cam = Conv1x1Block(cam_feat.shape[-1], name="camera_proj",
                            **kw)(cam_feat, train)
         lid = Conv1x1Block(lidar_feat.shape[-1], name="lidar_proj",
@@ -137,12 +133,11 @@ class MinimalFusion(nn.Module):
 
     out_channels: int = 128
     dtype: Any = jnp.float32
-    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, cam_feat: jnp.ndarray, lidar_feat: jnp.ndarray,
                  train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype)
         cam = Conv1x1Block(self.out_channels, name="cam_proj", **kw)(cam_feat, train)
         lid = Conv1x1Block(self.out_channels, name="lidar_proj", **kw)(lidar_feat, train)
         fused = cam + lid
@@ -161,12 +156,11 @@ class WeightedFusion(nn.Module):
     out_channels: int = 128
     use_pallas: bool = False
     dtype: Any = jnp.float32
-    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, cam_feat: jnp.ndarray, lidar_feat: jnp.ndarray,
                  train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype)
         cam = Conv1x1Block(self.out_channels, name="cam_proj", **kw)(cam_feat, train)
         lid = Conv1x1Block(self.out_channels, name="lidar_proj", **kw)(lidar_feat, train)
         w1 = self.param("attn1_kernel", conv_init,
@@ -200,7 +194,6 @@ class LightweightSegmentationHead(nn.Module):
 
     num_classes: int = 2
     dtype: Any = jnp.float32
-    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -209,7 +202,6 @@ class LightweightSegmentationHead(nn.Module):
                                      name=f"up{i + 1}_deconv")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
-                             axis_name=self.bn_axis_name,
                              name=f"up{i + 1}_bn")(x)
             x = nn.relu(x)
         return nn.Conv(self.num_classes, (3, 3), padding=((1, 1), (1, 1)),
@@ -225,11 +217,10 @@ class SameResolutionSegmentationHead(nn.Module):
 
     num_classes: int = 2
     dtype: Any = jnp.float32
-    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        kw = dict(dtype=self.dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=self.dtype)
         x = DWSeparableConv(64, name="block1", **kw)(x, train)
         x = DWSeparableConv(32, name="block2", **kw)(x, train)
         return nn.Conv(self.num_classes, (1, 1), use_bias=True,
@@ -246,7 +237,6 @@ class CompleteSegmentationModel(nn.Module):
     """
 
     config: ModelConfig = ModelConfig()
-    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, points: jnp.ndarray,
@@ -254,7 +244,7 @@ class CompleteSegmentationModel(nn.Module):
                  point_valid: Optional[jnp.ndarray] = None):
         cfg = self.config
         dtype = cfg.compute_dtype
-        kw = dict(dtype=dtype, bn_axis_name=self.bn_axis_name)
+        kw = dict(dtype=dtype)
 
         # uint8 images are accepted directly (4x cheaper host->device
         # transfer than fp32) and normalized on device — bit-identical to

@@ -11,8 +11,13 @@ Parity notes:
   * BatchNorm: flax momentum 0.9 == torch momentum 0.1; epsilon 1e-5 matches
     the torch default. Training mode normalizes with batch statistics, eval
     uses running averages — same as torch.
-  * Like the reference, batch stats are per-replica (unsynced) under data
-    parallelism; pass `bn_axis_name` to opt into cross-replica sync instead.
+  * BatchNorm under data parallelism: the trainer runs jit + NamedSharding
+    (GSPMD), where nn.BatchNorm's mean/var reductions span the full global
+    sharded batch — XLA inserts the cross-chip all-reduce. Batch statistics
+    are therefore GLOBAL-batch (effectively "synced BN"); there is no
+    per-replica-stats mode and no axis_name knob (one existed, untestable
+    under jit, and was removed). Pinned by
+    tests/test_multichip.py::test_batchnorm_stats_are_global_batch.
 """
 
 from __future__ import annotations
@@ -40,7 +45,6 @@ class ConvBNAct(nn.Module):
     use_bias: bool = False
     act: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = relu6
     dtype: Any = jnp.float32
-    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -51,7 +55,7 @@ class ConvBNAct(nn.Module):
                     dtype=self.dtype, name="conv")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=1e-5, dtype=self.dtype,
-                         axis_name=self.bn_axis_name, name="bn")(x)
+                         name="bn")(x)
         if self.act is not None:
             x = self.act(x)
         return x
@@ -68,7 +72,6 @@ class InvertedResidual(nn.Module):
     strides: Tuple[int, int] = (1, 1)
     expansion_ratio: int = 6
     dtype: Any = jnp.float32
-    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -78,12 +81,12 @@ class InvertedResidual(nn.Module):
         y = x
         if self.expansion_ratio != 1:
             y = ConvBNAct(hidden, (1, 1), act=relu6, dtype=self.dtype,
-                          bn_axis_name=self.bn_axis_name, name="expand")(y, train)
+                          name="expand")(y, train)
         y = ConvBNAct(hidden, (3, 3), strides=self.strides, groups=hidden,
                       act=relu6, dtype=self.dtype,
-                      bn_axis_name=self.bn_axis_name, name="depthwise")(y, train)
+                      name="depthwise")(y, train)
         y = ConvBNAct(self.features, (1, 1), act=None, dtype=self.dtype,
-                      bn_axis_name=self.bn_axis_name, name="project")(y, train)
+                      name="project")(y, train)
         return x + y if use_residual else y
 
 
@@ -93,13 +96,12 @@ class Conv1x1Block(nn.Module):
     features: int
     use_bias: bool = False
     dtype: Any = jnp.float32
-    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         return ConvBNAct(self.features, (1, 1), use_bias=self.use_bias,
                          act=nn.relu, dtype=self.dtype,
-                         bn_axis_name=self.bn_axis_name, name="block")(x, train)
+                         name="block")(x, train)
 
 
 class DWSeparableConv(nn.Module):
@@ -111,14 +113,13 @@ class DWSeparableConv(nn.Module):
     features: int
     strides: Tuple[int, int] = (1, 1)
     dtype: Any = jnp.float32
-    bn_axis_name: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         in_ch = x.shape[-1]
         x = ConvBNAct(in_ch, (3, 3), strides=self.strides, groups=in_ch,
                       act=nn.relu, dtype=self.dtype,
-                      bn_axis_name=self.bn_axis_name, name="dw")(x, train)
+                      name="dw")(x, train)
         x = ConvBNAct(self.features, (1, 1), act=nn.relu, dtype=self.dtype,
-                      bn_axis_name=self.bn_axis_name, name="pw")(x, train)
+                      name="pw")(x, train)
         return x

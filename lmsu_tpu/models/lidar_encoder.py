@@ -35,7 +35,6 @@ class SpatialLiDAREncoder(nn.Module):
 
     config: LidarEncoderConfig = LidarEncoderConfig()
     dtype: Any = jnp.float32
-    bn_axis_name: Optional[str] = None
 
     @property
     def feature_dim(self) -> int:
@@ -54,7 +53,7 @@ class SpatialLiDAREncoder(nn.Module):
                          name=f"mlp{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
-                             axis_name=self.bn_axis_name, name=f"bn{i}")(x)
+                             name=f"bn{i}")(x)
             x = nn.relu(x)
 
         flat_idx, valid = points_to_bev_indices(
@@ -82,7 +81,6 @@ class PointPillarsLiDAREncoder(nn.Module):
 
     config: LidarEncoderConfig = LidarEncoderConfig()
     dtype: Any = jnp.float32
-    bn_axis_name: Optional[str] = None
 
     @property
     def feature_dim(self) -> int:
@@ -118,7 +116,7 @@ class PointPillarsLiDAREncoder(nn.Module):
                          name=f"pfn{i}")(x)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-5, dtype=self.dtype,
-                             axis_name=self.bn_axis_name, name=f"bn{i}")(x)
+                             name=f"bn{i}")(x)
             x = nn.relu(x)
         return bev_scatter_max(x, flat_idx, valid, cfg.grid_size)
 
@@ -134,7 +132,6 @@ class LiDAREncoder(nn.Module):
 
     config: LidarEncoderConfig = LidarEncoderConfig()
     dtype: Any = jnp.float32
-    bn_axis_name: Optional[str] = None
 
     @property
     def feature_dim(self) -> int:
@@ -154,7 +151,6 @@ class LiDAREncoder(nn.Module):
         else:
             raise ValueError(f"Unknown encoder type: {self.config.encoder_type}")
         return cls(self.config, dtype=self.dtype,
-                   bn_axis_name=self.bn_axis_name,
                    name="encoder")(points, train, point_valid)
 
 

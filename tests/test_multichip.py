@@ -78,6 +78,36 @@ class TestMesh:
                                    rtol=1e-5)
 
 
+def test_batchnorm_stats_are_global_batch(mesh):
+    """Under jit + NamedSharding (GSPMD), nn.BatchNorm's reductions span the
+    full global batch: the batch_stats written on an 8-way-sharded batch
+    equal those a single device computes on the same full batch. This is the
+    'synced BN' semantics documented in models/layers.py — no axis_name knob
+    exists or is needed under this trainer."""
+    from lmsu_tpu.models.layers import ConvBNAct
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(1.5, 2.0, (16, 8, 8, 4)).astype(np.float32)
+    block = ConvBNAct(features=4, kernel_size=(1, 1))
+    variables = block.init(jax.random.PRNGKey(0), jnp.asarray(x[:1]),
+                           train=False)
+
+    def apply_train(v, inp):
+        _, mut = block.apply(v, inp, train=True, mutable=["batch_stats"])
+        return mut["batch_stats"]
+
+    rep = replicated_sharding(mesh)
+    sharded_stats = jax.jit(apply_train, in_shardings=(rep, data_sharding(mesh)),
+                            out_shardings=rep)(
+        jax.device_put(variables, rep),
+        jax.device_put(x, data_sharding(mesh)))
+    single_stats = apply_train(variables, jnp.asarray(x))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-5, atol=1e-6),
+        sharded_stats, single_stats)
+
+
 class TestGraftEntry:
     def test_dryrun_multichip_8(self):
         import __graft_entry__

@@ -80,6 +80,25 @@ class TestPandaSetE2E:
                               pad_points_are_valid=True)
         assert ds2[0]["point_valid"].all()
 
+    def test_downsample_deterministic_per_sample(self, pandaset_root):
+        """Downsampling is a pure function of (dataset seed, sample index):
+        re-reading a sample — in any order, any number of times, or from a
+        fresh dataset object — yields the identical point subset. This is
+        what makes KDConfig.cache_teacher sound on PandaSet (ADVICE round 1:
+        an access-order-dependent RNG silently skewed cached-teacher KD)."""
+        kw = dict(image_size=(32, 32), grid_size=(8, 8), max_points=500)
+        ds = PandaSetDataset(pandaset_root, ["001"], seed=7, **kw)
+        first = [ds[i]["points"].copy() for i in range(len(ds))]
+        # Reverse order on a fresh instance — same subsets.
+        ds2 = PandaSetDataset(pandaset_root, ["001"], seed=7, **kw)
+        for i in reversed(range(len(ds2))):
+            np.testing.assert_array_equal(ds2[i]["points"], first[i])
+        # Re-read (epoch 2) — still identical.
+        np.testing.assert_array_equal(ds[0]["points"], first[0])
+        # A different dataset seed draws a different subset.
+        ds3 = PandaSetDataset(pandaset_root, ["001"], seed=8, **kw)
+        assert not np.array_equal(ds3[0]["points"], first[0])
+
     def test_train_one_epoch_with_artifacts(self, pandaset_root, tmp_path):
         cfg = ExperimentConfig(
             model=ModelConfig(
