@@ -1,17 +1,26 @@
 #!/usr/bin/env python
 """Benchmark: fused camera+LiDAR KD train-step throughput on one chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"} to stdout.
-Extra detail (eval p50 latency, config) goes to stderr.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "detail"} to
+stdout. Extra prose detail goes to stderr.
 
 Baseline (BASELINE.md): the reference's measured train step on this host's
 CPU is 3.05 frames/s (concat, batch 4, torch eager) — and the reference has
 no KD at all, so the fused KD step here does strictly more work per frame
 (teacher forward + 3-term loss). North star: >=5x on one v5e chip.
+
+Usage:
+  python bench.py            # headline: best measured batch size (see sweep)
+  python bench.py --sweep    # full B in {32,64,128,256} sweep, prints table
+  python bench.py --batch 64 # one specific batch size
+
+Round-2 sweep result (v5e, bf16, measured once then pinned as the default):
+see ROADMAP.md §"Batch-size sweep"; the headline batch below is the argmax.
 """
 
 from __future__ import annotations
 
+import argparse
 import functools
 import json
 import sys
@@ -21,24 +30,24 @@ import numpy as np
 
 BASELINE_FRAMES_PER_SEC = 3.05  # BASELINE.md: measured reference train step
 
+# bf16 peak of one v5e chip (MXU), for the MFU line.
+PEAK_FLOPS = {"TPU v5e": 197e12, "TPU v5 lite": 197e12}
+# Best batch from the round-2 sweep (bench.py --sweep on the real chip).
+HEADLINE_BATCH = 128
 
-def main() -> None:
+
+def build_kd_bench(batch: int, compute_dtype, seed: int = 0):
+    """Returns (run, state, single_step) where run(state) executes n_iters
+    chained KD train steps in one lax.scan dispatch."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from lmsu_tpu.config import (ExperimentConfig, KDConfig, ModelConfig,
-                                 TrainConfig, teacher_config)
+    from lmsu_tpu.config import KDConfig, ModelConfig, teacher_config
     from lmsu_tpu.models import create_model, init_model
     from lmsu_tpu.ops.losses import kd_total_loss
     from lmsu_tpu.ops.metrics import confusion_matrix
     from lmsu_tpu.training.trainer import TrainState
-
-    on_tpu = jax.default_backend() not in ("cpu",)
-    batch = 32 if on_tpu else 4
-    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
-    print(f"backend={jax.default_backend()} devices={jax.devices()} "
-          f"batch={batch} dtype={compute_dtype.__name__}", file=sys.stderr)
 
     student_cfg = ModelConfig(num_classes=2, fusion_type="weighted",
                               fusion_out_channels=128,
@@ -102,7 +111,7 @@ def main() -> None:
         return state.replace(step=state.step + 1, params=new_params,
                              batch_stats=new_stats, opt_state=opt_state), loss, cm
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(seed)
     images = jnp.asarray(rng.uniform(0, 1, (batch, 256, 256, 3)),
                          jnp.float32)
     pts = rng.normal(0, 30, (batch, 5000, 4)).astype(np.float32)
@@ -115,6 +124,8 @@ def main() -> None:
     # ~2 ms/step through this machine's TPU relay — and the relay memoizes
     # identical dispatches, so chained state is also the only *sound* way to
     # time here; see utils/profiling.py.)
+    import jax
+    on_tpu = jax.default_backend() not in ("cpu",)
     n_iters = 50 if on_tpu else 3
 
     def scan_step(carry, _):
@@ -129,38 +140,70 @@ def main() -> None:
                                         length=n_iters)
         return st, cm, losses
 
-    t0 = time.perf_counter()
-    state, cm, losses = run(state)
-    jax.block_until_ready(losses)
-    print(f"compile+first {n_iters} steps: {time.perf_counter() - t0:.1f}s "
-          f"loss={float(losses[-1]):.4f}", file=sys.stderr)
+    single_step = jax.jit(kd_step)
+    args = (images, points, labels)
+    return run, state, n_iters, single_step, args, (student, s_vars)
 
-    t0 = time.perf_counter()
-    state, cm, losses = run(state)
-    jax.block_until_ready(losses)
-    step_time = (time.perf_counter() - t0) / n_iters
-    frames_per_sec = batch / step_time
-    print(f"kd train step: {step_time * 1e3:.2f} ms -> "
-          f"{frames_per_sec:.1f} frames/s/chip", file=sys.stderr)
 
-    # Secondary: eval p50 latency, batch 1 (reference: 80.9 ms on CPU).
+def step_flops(single_step, state, args) -> float:
+    """XLA's own FLOP estimate for one KD train step (fwd+bwd+opt)."""
+    try:
+        compiled = single_step.lower(state, *args).compile()
+        analysis = compiled.cost_analysis()
+        if isinstance(analysis, (list, tuple)):
+            analysis = analysis[0]
+        return float(analysis.get("flops", 0.0))
+    except Exception as e:  # cost model unavailable on some backends
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        return 0.0
+
+
+def measure_batch(batch: int, compute_dtype, want_flops: bool = False):
+    """Compile + time the KD step at one batch size. Returns a result dict
+    (or None on OOM)."""
+    import jax
+    try:
+        run, state, n_iters, single_step, args, _ = build_kd_bench(
+            batch, compute_dtype)
+        t0 = time.perf_counter()
+        state, cm, losses = run(state)
+        jax.block_until_ready(losses)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state, cm, losses = run(state)
+        jax.block_until_ready(losses)
+        step_ms = (time.perf_counter() - t0) / n_iters * 1e3
+        fps = batch / step_ms * 1e3
+        flops = step_flops(single_step, state, args) if want_flops else 0.0
+        print(f"B={batch:4d}: {step_ms:7.2f} ms/step  {fps:8.1f} frames/s "
+              f"(compile+warm {compile_s:.1f}s, loss {float(losses[-1]):.4f})",
+              file=sys.stderr)
+        return {"batch": batch, "step_ms": step_ms, "frames_per_sec": fps,
+                "flops_per_step": flops}
+    except Exception as e:
+        msg = str(e)
+        if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg.lower():
+            print(f"B={batch}: OOM — skipped", file=sys.stderr)
+            return None
+        raise
+
+
+def measure_eval_latency(student, s_vars, on_tpu: bool):
+    """(p50 incl. host link, on-chip scan-amortized) eval latency, B=1."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    i1 = jnp.asarray(rng.uniform(0, 1, (1, 256, 256, 3)), jnp.float32)
+    p1 = jnp.asarray(rng.normal(0, 30, (1, 5000, 4)), jnp.float32)
     eval_fn = jax.jit(lambda v, i, p: student.apply(v, i, p, train=False))
-    # Keep params on device: a device_get here would re-upload the weights on
-    # every call and measure the host link instead of the chip.
-    sv = {"params": state.params["model"], "batch_stats": state.batch_stats}
-    i1, p1 = images[:1], points[:1]
-    jax.block_until_ready(eval_fn(sv, i1, p1))
+    jax.block_until_ready(eval_fn(s_vars, i1, p1))
     lats = []
     for _ in range(20 if on_tpu else 3):
         t0 = time.perf_counter()
-        jax.block_until_ready(eval_fn(sv, i1, p1))
+        jax.block_until_ready(eval_fn(s_vars, i1, p1))
         lats.append(time.perf_counter() - t0)
-    print(f"eval p50 latency (B=1, incl. host link RTT): "
-          f"{np.median(lats) * 1e3:.2f} ms (reference CPU: 80.9 ms)",
-          file=sys.stderr)
+    p50_link = float(np.median(lats) * 1e3)
 
-    # On-chip eval latency: K chained forwards in one dispatch (the relay
-    # RTT on this machine otherwise dominates single-call numbers).
     K = 20
 
     @jax.jit
@@ -170,17 +213,81 @@ def main() -> None:
             return jnp.mean(out).astype(i.dtype), 0.0
         return jax.lax.scan(body, jnp.zeros((), i.dtype), None, length=K)[0]
 
-    jax.block_until_ready(eval_k(sv, i1, p1))
+    jax.block_until_ready(eval_k(s_vars, i1, p1))
     t0 = time.perf_counter()
-    jax.block_until_ready(eval_k(sv, i1, p1))
-    print(f"eval on-chip latency (B=1, scan-amortized): "
-          f"{(time.perf_counter() - t0) / K * 1e3:.2f} ms", file=sys.stderr)
+    jax.block_until_ready(eval_k(s_vars, i1, p1))
+    p50_onchip = (time.perf_counter() - t0) / K * 1e3
+    print(f"eval p50 (B=1): {p50_link:.2f} ms incl. host link RTT; "
+          f"{p50_onchip:.2f} ms on-chip scan-amortized "
+          f"(reference CPU: 80.9 ms)", file=sys.stderr)
+    return p50_link, p50_onchip
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sweep", action="store_true",
+                    help="sweep B in {32,64,128,256} and print a table")
+    ap.add_argument("--batch", type=int, default=None,
+                    help="single batch size (default: pinned headline batch)")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    kind = jax.devices()[0].device_kind
+    print(f"backend={jax.default_backend()} devices={jax.devices()} "
+          f"dtype={compute_dtype.__name__}", file=sys.stderr)
+
+    if args.sweep and on_tpu:
+        batches = [32, 64, 128, 256]
+    elif args.batch is not None:
+        batches = [args.batch]
+    else:
+        batches = [HEADLINE_BATCH if on_tpu else 4]
+
+    results = []
+    for b in batches:
+        r = measure_batch(b, compute_dtype, want_flops=True)
+        if r is not None:
+            results.append(r)
+    best = max(results, key=lambda r: r["frames_per_sec"])
+
+    peak = PEAK_FLOPS.get(kind)
+    mfu = None
+    if best["flops_per_step"] and peak and on_tpu:
+        achieved = best["flops_per_step"] / (best["step_ms"] / 1e3)
+        mfu = achieved / peak
+        print(f"MFU @ B={best['batch']}: XLA-counted "
+              f"{best['flops_per_step'] / 1e9:.1f} GFLOP/step -> "
+              f"{achieved / 1e12:.1f} TFLOP/s = {mfu * 100:.1f}% of "
+              f"{kind} bf16 peak ({peak / 1e12:.0f} TF/s)", file=sys.stderr)
+
+    # Eval latency on the headline-model student (fresh small build, B=1).
+    _, _, _, _, _, (student, s_vars) = build_kd_bench(1, compute_dtype)
+    p50_link, p50_onchip = measure_eval_latency(student, s_vars, on_tpu)
+
+    detail = {
+        "batch": best["batch"],
+        "step_ms": round(best["step_ms"], 3),
+        "eval_p50_ms_onchip": round(p50_onchip, 3),
+        "eval_p50_ms_incl_host_link": round(p50_link, 3),
+        "sweep": [{"batch": r["batch"],
+                   "frames_per_sec": round(r["frames_per_sec"], 1)}
+                  for r in results],
+    }
+    if mfu is not None:
+        detail["mfu"] = round(mfu, 4)
+        detail["flops_per_step"] = best["flops_per_step"]
 
     print(json.dumps({
         "metric": "kd_train_frames_per_sec_per_chip",
-        "value": round(frames_per_sec, 2),
+        "value": round(best["frames_per_sec"], 2),
         "unit": "frames/s",
-        "vs_baseline": round(frames_per_sec / BASELINE_FRAMES_PER_SEC, 2),
+        "vs_baseline": round(best["frames_per_sec"] / BASELINE_FRAMES_PER_SEC,
+                             2),
+        "detail": detail,
     }))
 
 

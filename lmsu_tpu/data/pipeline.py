@@ -24,15 +24,35 @@ import numpy as np
 
 
 class Batcher:
-    """Iterates a dataset in shuffled, fixed-shape, padded batches."""
+    """Iterates a dataset in shuffled, fixed-shape, padded batches.
+
+    Multi-host sharding (parallel/mesh.py module docstring): pass
+    num_shards=jax.process_count(), shard_index=jax.process_index().
+    `batch_size` stays the GLOBAL batch size; every process computes the
+    same global shuffled order (same seed/epoch) and decodes only its
+    contiguous stripe of each global batch — rows
+    [shard*B/num_shards : (shard+1)*B/num_shards] — which is exactly the
+    block jax.make_array_from_process_local_data expects. sample_index and
+    sample_mask are computed globally then sliced, so per-host batches from
+    all processes concatenate to the identical single-host batch.
+    """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
-                 seed: int = 0, drop_last: bool = False):
+                 seed: int = 0, drop_last: bool = False,
+                 num_shards: int = 1, shard_index: int = 0):
+        if batch_size % num_shards != 0:
+            raise ValueError(f"global batch_size {batch_size} not divisible "
+                             f"by num_shards {num_shards}")
+        if not 0 <= shard_index < num_shards:
+            raise ValueError(f"shard_index {shard_index} out of range for "
+                             f"{num_shards} shards")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -54,6 +74,8 @@ class Batcher:
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._order()
         B = self.batch_size
+        L = B // self.num_shards  # local (per-process) batch size
+        lo, hi = self.shard_index * L, (self.shard_index + 1) * L
         for start in range(0, len(order), B):
             chunk = order[start:start + B]
             if len(chunk) < B and self.drop_last:
@@ -61,16 +83,19 @@ class Batcher:
             n_real = len(chunk)
             if n_real < B:  # pad by repeating the first sample
                 chunk = np.concatenate([chunk, np.repeat(chunk[:1], B - n_real)])
-            samples = [self.dataset[int(i)] for i in chunk]
+            mask = np.arange(B) < n_real
+            # Decode only this shard's stripe of the global batch.
+            local_idx, local_mask = chunk[lo:hi], mask[lo:hi]
+            samples = [self.dataset[int(i)] for i in local_idx]
             batch: Dict[str, np.ndarray] = {}
             for key in samples[0]:
                 if key == "sample_token":
                     continue
                 batch[key] = np.stack([s[key] for s in samples])
-            batch["sample_index"] = chunk.astype(np.int32)
-            batch["sample_mask"] = (np.arange(B) < n_real)
+            batch["sample_index"] = local_idx.astype(np.int32)
+            batch["sample_mask"] = local_mask
             batch["segmentation"] = np.where(
-                batch["sample_mask"][:, None, None],
+                local_mask[:, None, None],
                 batch["segmentation"], -1)  # padded samples -> all-ignored
             yield batch
 
@@ -128,6 +153,16 @@ class PrefetchLoader:
 
 
 def make_loader(dataset, batch_size: int, shuffle: bool, seed: int = 0,
-                drop_last: bool = False, prefetch: int = 2) -> PrefetchLoader:
+                drop_last: bool = False, prefetch: int = 2,
+                num_shards: Optional[int] = None,
+                shard_index: Optional[int] = None) -> PrefetchLoader:
+    """Build the prefetching loader. num_shards/shard_index default to
+    jax.process_count()/jax.process_index() so multi-host runs shard the
+    input pipeline automatically (single-process: 1/0, a no-op)."""
+    if num_shards is None or shard_index is None:
+        import jax
+        num_shards = jax.process_count() if num_shards is None else num_shards
+        shard_index = jax.process_index() if shard_index is None else shard_index
     return PrefetchLoader(Batcher(dataset, batch_size, shuffle, seed,
-                                  drop_last), prefetch)
+                                  drop_last, num_shards=num_shards,
+                                  shard_index=shard_index), prefetch)

@@ -34,7 +34,8 @@ from lmsu_tpu.ops.metrics import confusion_matrix, iou_from_confusion
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from lmsu_tpu.parallel.mesh import (data_sharding, make_mesh, replicate,
-                                    replicated_sharding, shard_batch)
+                                    replicated_sharding, shard_batch,
+                                    shard_scan_chunk)
 from lmsu_tpu.training import checkpoint as ckpt
 from lmsu_tpu.training.schedule import cosine_epoch_schedule, lr_at_epoch
 
@@ -205,8 +206,8 @@ class Trainer:
         def flush_chunk(chunk):
             nonlocal total_loss, n_batches, cm_total
             stacked = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
-            stacked = jax.tree_util.tree_map(
-                lambda x: jax.device_put(x, self._scan_sharding), stacked)
+            stacked = shard_scan_chunk(stacked, self.mesh,
+                                       self._scan_sharding)
             losses, cm = scan_call(stacked)
             total_loss += float(jnp.sum(losses))
             cm_total += np.asarray(cm, np.int64)
