@@ -32,8 +32,12 @@ BASELINE_FRAMES_PER_SEC = 3.05  # BASELINE.md: measured reference train step
 
 # bf16 peak of one v5e chip (MXU), for the MFU line.
 PEAK_FLOPS = {"TPU v5e": 197e12, "TPU v5 lite": 197e12}
-# Best batch from the round-2 sweep (bench.py --sweep on the real chip).
-HEADLINE_BATCH = 128
+# Best batch from the round-2 sweep (bench.py --sweep on the real chip):
+# B=32 794.4 / B=64 786.6 / B=128 726.3 / B=256 711.2 frames/s — throughput
+# FALLS with batch (the step is HBM-bandwidth-bound, not overhead-bound;
+# XLA counts 691 GFLOP/step at B=32 = 8.7% MFU), so the smallest measured
+# batch is the headline.
+HEADLINE_BATCH = 32
 
 
 def build_kd_bench(batch: int, compute_dtype, seed: int = 0):

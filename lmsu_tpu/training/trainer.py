@@ -181,10 +181,13 @@ class Trainer:
 
     def _run_epoch_scanned(self, loader, K: int) -> Tuple[float, Dict]:
         def scan_call(stacked):
+            stacked = shard_scan_chunk(stacked, self.mesh,
+                                       self._scan_sharding)
             self.state, losses, cm = self.train_scan(self.state, stacked)
             return losses, cm
 
         def step_call(batch):
+            batch = shard_batch(batch, self.mesh)
             self.state, loss, cm = self.train_step(self.state, batch)
             return loss, cm
 
@@ -194,10 +197,13 @@ class Trainer:
                           ) -> Tuple[float, Dict]:
         """Train epoch in chunks of K stacked batches per dispatch.
 
-        scan_call(stacked [K, B, ...]) -> (losses [K], cm) and step_call
-        (batch) -> (loss, cm) must advance self.state themselves. Leftover
-        batches (< K at the epoch tail) run through step_call, so any epoch
-        length works without recompilation."""
+        scan_call(stacked [K, B, ...] HOST arrays) -> (losses [K], cm) and
+        step_call(HOST batch) -> (loss, cm) must device-place their inputs
+        (shard_scan_chunk / shard_batch) and advance self.state themselves —
+        host batches let callbacks gather per-sample side data (e.g. the
+        host-RAM teacher cache) before the transfer. Leftover batches (< K
+        at the epoch tail) run through step_call, so any epoch length works
+        without recompilation."""
         total_loss, n_batches = 0.0, 0
         cm_total = np.zeros((self.config.train.metrics_num_classes,) * 2,
                             np.int64)
@@ -206,8 +212,6 @@ class Trainer:
         def flush_chunk(chunk):
             nonlocal total_loss, n_batches, cm_total
             stacked = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
-            stacked = shard_scan_chunk(stacked, self.mesh,
-                                       self._scan_sharding)
             losses, cm = scan_call(stacked)
             total_loss += float(jnp.sum(losses))
             cm_total += np.asarray(cm, np.int64)
@@ -219,7 +223,6 @@ class Trainer:
                 flush_chunk(pending)
                 pending = []
         for batch in pending:  # epoch tail
-            batch = shard_batch(batch, self.mesh)
             loss, cm = step_call(batch)
             total_loss += float(loss)
             cm_total += np.asarray(cm, np.int64)

@@ -115,6 +115,34 @@ class TestDistillationE2E:
                                                 "post_fusion"}
         assert losses["cached"] == pytest.approx(losses["inloop"], rel=1e-4)
 
+    def test_host_spilled_cache_matches_inloop(self, tmp_path):
+        """cache_hbm_limit_bytes=0 forces the host-RAM spill: the cache is
+        filled via the replicated teacher forward, gathered per step by
+        numpy indexing, and reproduces the in-loop teacher's loss."""
+        cfg_a = _tiny_cfg(tmp_path)
+        cfg_b = cfg_a.replace(train=dataclasses.replace(
+            cfg_a.train, kd=dataclasses.replace(
+                cfg_a.train.kd, cache_teacher=True,
+                cache_hbm_limit_bytes=0)))
+        losses = {}
+        for name, cfg in (("inloop", cfg_a), ("spilled", cfg_b)):
+            train_ds, val_ds = create_datasets(cfg.data)
+            t = DistillationTrainer(
+                cfg, make_loader(train_ds, 8, shuffle=True),
+                make_loader(val_ds, 8, shuffle=False))
+            loss, _ = t.train_epoch()
+            losses[name] = loss
+            if name == "spilled":
+                assert t.teacher_cache is None  # HBM variant NOT used
+                assert set(t.teacher_cache_host) == {"logits", "camera_feat",
+                                                     "post_fusion"}
+                assert all(isinstance(v, np.ndarray)
+                           for v in t.teacher_cache_host.values())
+                # epoch 2 runs entirely off the host cache
+                loss2, _ = t.train_epoch()
+                assert np.isfinite(loss2)
+        assert losses["spilled"] == pytest.approx(losses["inloop"], rel=1e-4)
+
     def test_scanned_kd_epoch_matches(self, tmp_path):
         import dataclasses
         cfg_a = _tiny_cfg(tmp_path)
@@ -126,9 +154,14 @@ class TestDistillationE2E:
             cfg_b.train, kd=dataclasses.replace(cfg_b.train.kd,
                                                 cache_teacher=True),
             save_dir=str(tmp_path / "kd_scan_cache")))
+        cfg_d = cfg_b.replace(train=dataclasses.replace(
+            cfg_b.train, kd=dataclasses.replace(cfg_b.train.kd,
+                                                cache_teacher=True,
+                                                cache_hbm_limit_bytes=0),
+            save_dir=str(tmp_path / "kd_scan_hostcache")))
         losses = {}
         for name, cfg in (("plain", cfg_a), ("scan", cfg_b),
-                          ("scan+cache", cfg_c)):
+                          ("scan+cache", cfg_c), ("scan+hostcache", cfg_d)):
             train_ds, val_ds = create_datasets(cfg.data)
             t = DistillationTrainer(
                 cfg, make_loader(train_ds, 8, shuffle=True),
@@ -138,6 +171,8 @@ class TestDistillationE2E:
                                               "total"}
         assert losses["plain"] == pytest.approx(losses["scan"], rel=1e-4)
         assert losses["plain"] == pytest.approx(losses["scan+cache"],
+                                                rel=1e-4)
+        assert losses["plain"] == pytest.approx(losses["scan+hostcache"],
                                                 rel=1e-4)
 
     def test_kd_checkpoint_resume(self, tmp_path):
