@@ -122,6 +122,9 @@ class DataConfig:
     pc_range: Tuple[float, float, float, float] = (-50.0, 50.0, -50.0, 50.0)
     batch_size: int = 4
     shuffle_train: bool = True
+    # Parallel per-sample decode threads (reference: DataLoader
+    # num_workers=2, train_pandaset.py:97). 0/1 = decode inline on the
+    # prefetch producer thread.
     num_workers: int = 2
     train_fraction: float = 0.8
     # Synthetic dataset (hermetic fixture; reference §2.26 deleted component).

@@ -39,7 +39,8 @@ class Batcher:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = False,
-                 num_shards: int = 1, shard_index: int = 0):
+                 num_shards: int = 1, shard_index: int = 0,
+                 decode_workers: int = 0):
         if batch_size % num_shards != 0:
             raise ValueError(f"global batch_size {batch_size} not divisible "
                              f"by num_shards {num_shards}")
@@ -53,7 +54,23 @@ class Batcher:
         self.drop_last = drop_last
         self.num_shards = num_shards
         self.shard_index = shard_index
+        # Per-sample decode parallelism (the reference's DataLoader
+        # num_workers analog, train_pandaset.py:97). Threads, not processes:
+        # the hot decode paths (PIL JPEG, numpy, the native C++ ops) release
+        # the GIL, and thread workers avoid pickling batches across
+        # processes. 0/1 = decode inline on the producer thread.
+        self.decode_workers = decode_workers
+        self._pool = None
         self._epoch = 0
+
+    def _decode(self, indices):
+        if self.decode_workers > 1:
+            if self._pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+                self._pool = ThreadPoolExecutor(self.decode_workers)
+            return list(self._pool.map(self.dataset.__getitem__,
+                                       [int(i) for i in indices]))
+        return [self.dataset[int(i)] for i in indices]
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -86,7 +103,7 @@ class Batcher:
             mask = np.arange(B) < n_real
             # Decode only this shard's stripe of the global batch.
             local_idx, local_mask = chunk[lo:hi], mask[lo:hi]
-            samples = [self.dataset[int(i)] for i in local_idx]
+            samples = self._decode(local_idx)
             batch: Dict[str, np.ndarray] = {}
             for key in samples[0]:
                 if key == "sample_token":
@@ -155,7 +172,8 @@ class PrefetchLoader:
 def make_loader(dataset, batch_size: int, shuffle: bool, seed: int = 0,
                 drop_last: bool = False, prefetch: int = 2,
                 num_shards: Optional[int] = None,
-                shard_index: Optional[int] = None) -> PrefetchLoader:
+                shard_index: Optional[int] = None,
+                decode_workers: int = 0) -> PrefetchLoader:
     """Build the prefetching loader. num_shards/shard_index default to
     jax.process_count()/jax.process_index() so multi-host runs shard the
     input pipeline automatically (single-process: 1/0, a no-op)."""
@@ -165,4 +183,5 @@ def make_loader(dataset, batch_size: int, shuffle: bool, seed: int = 0,
         shard_index = jax.process_index() if shard_index is None else shard_index
     return PrefetchLoader(Batcher(dataset, batch_size, shuffle, seed,
                                   drop_last, num_shards=num_shards,
-                                  shard_index=shard_index), prefetch)
+                                  shard_index=shard_index,
+                                  decode_workers=decode_workers), prefetch)

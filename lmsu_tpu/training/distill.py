@@ -375,7 +375,7 @@ class DistillationTrainer(Trainer):
         idx = np.asarray(batch["sample_index"])
         return {k: v[idx] for k, v in self.teacher_cache_host.items()}
 
-    def _run_epoch(self, loader, train: bool):
+    def _run_epoch_inner(self, loader, train: bool):
         from lmsu_tpu.ops.metrics import iou_from_confusion
         from lmsu_tpu.parallel.mesh import shard_batch
         if train and self.kd.cache_teacher and self.teacher_cache is None \

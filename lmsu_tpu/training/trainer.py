@@ -38,6 +38,7 @@ from lmsu_tpu.parallel.mesh import (data_sharding, make_mesh, replicate,
                                     shard_scan_chunk)
 from lmsu_tpu.training import checkpoint as ckpt
 from lmsu_tpu.training.schedule import cosine_epoch_schedule, lr_at_epoch
+from lmsu_tpu.utils.profiling import StallMeter
 
 
 class TrainState(struct.PyTreeNode):
@@ -90,6 +91,9 @@ class Trainer:
         self.class_weights = (jnp.asarray(tc.class_weights, jnp.float32)
                               if tc.class_weights is not None else None)
         self.best_miou = 0.0
+        # Fraction of the last train epoch spent waiting on the host input
+        # pipeline (0 = decode fully hidden behind the device step).
+        self.last_host_stall_frac = 0.0
         self.save_dir = tc.save_dir
         self.history = ckpt.HistoryWriter(self.save_dir)
         self._build_steps()
@@ -161,6 +165,15 @@ class Trainer:
     # -- epoch loops -------------------------------------------------------
 
     def _run_epoch(self, loader, train: bool) -> Tuple[float, Dict]:
+        if train:  # measure input-pipeline stall (SURVEY §7 hard-part (e))
+            loader = meter = StallMeter(loader)
+        try:
+            return self._run_epoch_inner(loader, train)
+        finally:
+            if train:
+                self.last_host_stall_frac = meter.stall_frac
+
+    def _run_epoch_inner(self, loader, train: bool) -> Tuple[float, Dict]:
         K = self.config.train.scan_steps
         if train and K > 1:
             return self._run_epoch_scanned(loader, K)
@@ -272,7 +285,8 @@ class Trainer:
                                      epoch + 1)
             train_miou = train_metrics["miou"]
             val_miou = val_metrics["miou"]
-            log(f"Epoch {epoch + 1}/{tc.num_epochs} [{dt:.1f}s] "
+            log(f"Epoch {epoch + 1}/{tc.num_epochs} [{dt:.1f}s, input stall "
+                f"{self.last_host_stall_frac * 100:.0f}%] "
                 f"train loss {train_loss:.4f} mIoU {train_miou:.4f} | "
                 f"val loss {val_loss:.4f} mIoU {val_miou:.4f} | "
                 f"class IoU {['%.4f' % v for v in val_metrics['class_iou']]}")

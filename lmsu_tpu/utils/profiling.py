@@ -54,6 +54,40 @@ class StepTimer:
         return out
 
 
+class StallMeter:
+    """Wraps a batch iterable, separating time spent WAITING on the host
+    input pipeline from the rest of the loop (device step + bookkeeping).
+
+    Because each training step synchronizes on its loss, the wait measured
+    at next(loader) is genuine input stall: the prefetch producer had the
+    whole previous step's wall time to decode ahead. stall_frac ~ 0 means
+    decode fully hides behind compute (SURVEY.md §7 hard-part (e))."""
+
+    def __init__(self, iterable):
+        self.iterable = iterable
+        self.wait_s = 0.0
+        self.total_s = 0.0
+        self.batches = 0
+
+    @property
+    def stall_frac(self) -> float:
+        return self.wait_s / self.total_s if self.total_s else 0.0
+
+    def __iter__(self):
+        start = time.perf_counter()
+        it = iter(self.iterable)
+        while True:
+            t0 = time.perf_counter()
+            try:
+                item = next(it)
+            except StopIteration:
+                break
+            self.wait_s += time.perf_counter() - t0
+            self.batches += 1
+            yield item
+        self.total_s = time.perf_counter() - start
+
+
 @contextlib.contextmanager
 def profiler_trace(log_dir: str = "/tmp/lmsu_trace") -> Iterator[None]:
     """Capture a jax.profiler trace (view with TensorBoard / Perfetto)."""

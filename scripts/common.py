@@ -30,8 +30,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="resume from <save_dir>/latest.ckpt if present")
     p.add_argument("--scan-steps", type=int, default=None,
                    help="chain K train steps per dispatch (lax.scan)")
-    p.add_argument("--num-workers", type=int, default=None, help="unused; "
-                   "kept for reference CLI familiarity (prefetch is threaded)")
+    p.add_argument("--num-workers", type=int, default=None,
+                   help="parallel per-sample decode threads in the input "
+                   "pipeline (reference DataLoader num_workers analog); "
+                   "default per DataConfig")
 
 
 def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
@@ -46,6 +48,8 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         data_kw["synthetic_num_train"] = args.num_train
     if args.num_val is not None:
         data_kw["synthetic_num_val"] = args.num_val
+    if getattr(args, "num_workers", None) is not None:
+        data_kw["num_workers"] = args.num_workers
     if args.epochs is not None:
         train_kw["num_epochs"] = args.epochs
     if args.lr is not None:
@@ -65,8 +69,10 @@ def build_loaders(cfg: ExperimentConfig, verbose: bool = True):
     train_ds, val_ds = create_datasets(cfg.data, verbose=verbose) \
         if cfg.data.dataset == "pandaset" else create_datasets(cfg.data)
     train_loader = make_loader(train_ds, cfg.data.batch_size, shuffle=True,
-                               seed=cfg.train.seed)
-    val_loader = make_loader(val_ds, cfg.data.batch_size, shuffle=False)
+                               seed=cfg.train.seed,
+                               decode_workers=cfg.data.num_workers)
+    val_loader = make_loader(val_ds, cfg.data.batch_size, shuffle=False,
+                             decode_workers=cfg.data.num_workers)
     print(f"Dataset: {cfg.data.dataset} — {len(train_ds)} train / "
           f"{len(val_ds)} val samples")
     return train_loader, val_loader

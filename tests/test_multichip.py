@@ -118,6 +118,35 @@ class TestMultiHostInput:
             assert sum(int(l["sample_mask"].sum()) for l in locals_) \
                 == int(ref["sample_mask"].sum())
 
+    def test_decode_workers_equivalent(self):
+        """Threaded per-sample decode yields identical batches (order
+        preserved by pool.map)."""
+        from lmsu_tpu.data.pipeline import Batcher
+        a = list(Batcher(_ToyDataset(19), 8, shuffle=True, seed=5))
+        b = list(Batcher(_ToyDataset(19), 8, shuffle=True, seed=5,
+                         decode_workers=4))
+        assert len(a) == len(b)
+        for ba, bb in zip(a, b):
+            for k in ba:
+                np.testing.assert_array_equal(ba[k], bb[k])
+
+    def test_stall_meter(self):
+        import time
+
+        from lmsu_tpu.utils.profiling import StallMeter
+
+        def slow_producer():
+            for i in range(3):
+                time.sleep(0.02)
+                yield i
+
+        m = StallMeter(slow_producer())
+        for _ in m:
+            time.sleep(0.01)  # "compute"
+        assert m.batches == 3
+        assert 0.0 < m.stall_frac < 1.0
+        assert m.wait_s >= 0.05  # ~3 x 20ms of waiting
+
     def test_batcher_rejects_bad_shard_config(self):
         from lmsu_tpu.data.pipeline import Batcher
         with pytest.raises(ValueError):
