@@ -40,9 +40,16 @@ PEAK_FLOPS = {"TPU v5e": 197e12, "TPU v5 lite": 197e12}
 HEADLINE_BATCH = 32
 
 
-def build_kd_bench(batch: int, compute_dtype, seed: int = 0):
+def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
+                   cached_teacher: bool = False):
     """Returns (run, state, single_step) where run(state) executes n_iters
-    chained KD train steps in one lax.scan dispatch."""
+    chained KD train steps in one lax.scan dispatch.
+
+    cached_teacher=True measures the steady-state step when
+    KDConfig.cache_teacher is on (training/distill.py): the frozen
+    teacher's outputs come from the cache (here: precomputed once for the
+    bench batch), so the step is student fwd+bwd + 3-term KD loss + AdamW —
+    the teacher forward is off the critical path."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -89,11 +96,14 @@ def build_kd_bench(batch: int, compute_dtype, seed: int = 0):
     # available behind KDConfig.use_pallas.
     loss_impl = kd_total_loss
 
-    def kd_step(state, images, points, labels):
+    def kd_step(state, images, points, labels, t_cached=None):
         def loss_fn(p):
-            t_logits, t_feats = teacher.apply(
-                t_vars, images, points, train=False,
-                return_intermediates=True)
+            if t_cached is not None:
+                t_logits, t_feats = t_cached
+            else:
+                t_logits, t_feats = teacher.apply(
+                    t_vars, images, points, train=False,
+                    return_intermediates=True)
             t_logits = jax.lax.stop_gradient(t_logits)
             t_feats = jax.lax.stop_gradient(t_feats)
             (s_logits, s_feats), mut = student.apply(
@@ -132,9 +142,19 @@ def build_kd_bench(batch: int, compute_dtype, seed: int = 0):
     on_tpu = jax.default_backend() not in ("cpu",)
     n_iters = 50 if on_tpu else 3
 
+    t_cached = None
+    if cached_teacher:
+        t_logits, t_feats = teacher.apply(t_vars, images, points,
+                                          train=False,
+                                          return_intermediates=True)
+        dt = compute_dtype
+        t_cached = (t_logits.astype(dt),
+                    {k: v.astype(dt) for k, v in t_feats.items()})
+        t_cached = jax.tree_util.tree_map(jax.block_until_ready, t_cached)
+
     def scan_step(carry, _):
         st, cm_total = carry
-        st, loss, cm = kd_step(st, images, points, labels)
+        st, loss, cm = kd_step(st, images, points, labels, t_cached)
         return (st, cm_total + cm), loss
 
     @functools.partial(jax.jit, donate_argnums=0)
@@ -144,7 +164,7 @@ def build_kd_bench(batch: int, compute_dtype, seed: int = 0):
                                         length=n_iters)
         return st, cm, losses
 
-    single_step = jax.jit(kd_step)
+    single_step = jax.jit(functools.partial(kd_step, t_cached=t_cached))
     args = (images, points, labels)
     return run, state, n_iters, single_step, args, (student, s_vars)
 
@@ -162,13 +182,14 @@ def step_flops(single_step, state, args) -> float:
         return 0.0
 
 
-def measure_batch(batch: int, compute_dtype, want_flops: bool = False):
+def measure_batch(batch: int, compute_dtype, want_flops: bool = False,
+                  cached_teacher: bool = False):
     """Compile + time the KD step at one batch size. Returns a result dict
     (or None on OOM)."""
     import jax
     try:
         run, state, n_iters, single_step, args, _ = build_kd_bench(
-            batch, compute_dtype)
+            batch, compute_dtype, cached_teacher=cached_teacher)
         t0 = time.perf_counter()
         state, cm, losses = run(state)
         jax.block_until_ready(losses)
@@ -179,7 +200,9 @@ def measure_batch(batch: int, compute_dtype, want_flops: bool = False):
         step_ms = (time.perf_counter() - t0) / n_iters * 1e3
         fps = batch / step_ms * 1e3
         flops = step_flops(single_step, state, args) if want_flops else 0.0
-        print(f"B={batch:4d}: {step_ms:7.2f} ms/step  {fps:8.1f} frames/s "
+        tag = "cached-teacher" if cached_teacher else "in-loop-teacher"
+        print(f"B={batch:4d} [{tag}]: {step_ms:7.2f} ms/step  "
+              f"{fps:8.1f} frames/s "
               f"(compile+warm {compile_s:.1f}s, loss {float(losses[-1]):.4f})",
               file=sys.stderr)
         return {"batch": batch, "step_ms": step_ms, "frames_per_sec": fps,
@@ -258,6 +281,12 @@ def main() -> None:
             results.append(r)
     best = max(results, key=lambda r: r["frames_per_sec"])
 
+    # The steady-state step with KDConfig.cache_teacher on (the teacher
+    # forward comes from the precomputed cache — a first-class production
+    # path, training/distill.py).
+    cached = measure_batch(best["batch"], compute_dtype, want_flops=True,
+                           cached_teacher=True)
+
     peak = PEAK_FLOPS.get(kind)
     mfu = None
     if best["flops_per_step"] and peak and on_tpu:
@@ -281,6 +310,13 @@ def main() -> None:
                    "frames_per_sec": round(r["frames_per_sec"], 1)}
                   for r in results],
     }
+    if cached is not None:
+        detail["cached_teacher_frames_per_sec"] = round(
+            cached["frames_per_sec"], 2)
+        detail["cached_teacher_step_ms"] = round(cached["step_ms"], 3)
+        if cached["flops_per_step"] and peak and on_tpu:
+            detail["cached_teacher_mfu"] = round(
+                cached["flops_per_step"] / (cached["step_ms"] / 1e3) / peak, 4)
     if mfu is not None:
         detail["mfu"] = round(mfu, 4)
         detail["flops_per_step"] = best["flops_per_step"]

@@ -194,6 +194,13 @@ class TrainConfig:
     # rounding, which Adam can amplify to ~lr-sized parameter differences
     # on near-zero gradients (see tests/test_trainer.py).
     scan_steps: int = 1
+    # Run each training epoch as ONE on-chip lax.scan over an HBM-resident
+    # copy of the train set (shuffled by a per-epoch permutation): zero host
+    # dispatch/input work in the steady state. Requires the materialized
+    # dataset to fit in HBM next to model+optimizer (synthetic: ~0.3 MB per
+    # 256^2 sample). Same step math as the host-driven path; the padded
+    # tail rows are -1-masked exactly like the Batcher's.
+    onchip_epoch: bool = False
     kd: KDConfig = field(default_factory=KDConfig)
 
 

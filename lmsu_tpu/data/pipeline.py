@@ -169,6 +169,33 @@ class PrefetchLoader:
             stop.set()
 
 
+def materialize_dataset(dataset, batch_size: int) -> Dict[str, np.ndarray]:
+    """Stack the whole dataset into fixed-shape arrays, padded to a multiple
+    of batch_size, for the on-chip epoch loop (TrainConfig.onchip_epoch).
+
+    Pad rows repeat sample 0 with segmentation=-1 (all-ignored) and
+    sample_mask=0 — the same masking contract the Batcher emits, so the
+    jitted step math is identical."""
+    n = len(dataset)
+    n_pad = (n + batch_size - 1) // batch_size * batch_size
+    samples = [dataset[i] for i in range(n)]
+    out: Dict[str, np.ndarray] = {}
+    for key in samples[0]:
+        if key == "sample_token":
+            continue
+        arr = np.stack([s[key] for s in samples])
+        if n_pad > n:
+            arr = np.concatenate([arr, np.repeat(arr[:1], n_pad - n, axis=0)])
+        out[key] = arr
+    out["sample_index"] = np.concatenate(
+        [np.arange(n, dtype=np.int32),
+         np.zeros(n_pad - n, np.int32)])
+    out["sample_mask"] = np.arange(n_pad) < n
+    out["segmentation"] = np.where(out["sample_mask"][:, None, None],
+                                   out["segmentation"], -1)
+    return out
+
+
 def make_loader(dataset, batch_size: int, shuffle: bool, seed: int = 0,
                 drop_last: bool = False, prefetch: int = 2,
                 num_shards: Optional[int] = None,

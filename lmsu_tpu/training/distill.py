@@ -282,6 +282,10 @@ class DistillationTrainer(Trainer):
 
         self.train_scan_kd = _scan_over(train_step)
         self.train_scan_kd_cached = _scan_over(train_step_cached, (rep,))
+        # On-chip whole-epoch loop uses the in-loop-teacher KD step.
+        self._onchip_step = train_step
+        self._epoch_scan = None
+        self._onchip_data = None
 
         # Precached scan: the per-step teacher slices ride the scan xs,
         # stacked [K, B, ...] like the batches.

@@ -91,6 +91,7 @@ class Trainer:
         self.class_weights = (jnp.asarray(tc.class_weights, jnp.float32)
                               if tc.class_weights is not None else None)
         self.best_miou = 0.0
+        self._epoch_index = 0
         # Fraction of the last train epoch spent waiting on the host input
         # pipeline (0 = decode fully hidden behind the device step).
         self.last_host_stall_frac = 0.0
@@ -161,6 +162,12 @@ class Trainer:
         self.train_scan = jax.jit(
             train_scan, in_shardings=(rep, self._scan_sharding),
             out_shardings=(rep, rep, rep), donate_argnums=0)
+
+        # Step used by the on-chip whole-epoch loop (overridden by the KD
+        # trainer to point at its distillation step).
+        self._onchip_step = train_step
+        self._epoch_scan = None
+        self._onchip_data = None
 
     # -- epoch loops -------------------------------------------------------
 
@@ -242,7 +249,62 @@ class Trainer:
             n_batches += 1
         return total_loss / max(n_batches, 1), iou_from_confusion(cm_total)
 
+    # -- on-chip whole-epoch loop (TrainConfig.onchip_epoch) ----------------
+
+    def _run_epoch_onchip(self) -> Tuple[float, Dict]:
+        """One lax.scan over an HBM-resident copy of the train set: the
+        entire epoch — per-batch gather, train step, metrics — is a single
+        dispatch. Kills residual host dispatch/input overhead (ROADMAP §5);
+        the synthetic train set at 256^2 is ~0.3 MB/sample."""
+        from lmsu_tpu.data.pipeline import materialize_dataset
+        B = self.config.data.batch_size
+        if self._onchip_data is None:
+            if not hasattr(self.train_loader, "batcher"):
+                raise ValueError("onchip_epoch needs a Batcher-based loader")
+            host = materialize_dataset(self.train_loader.batcher.dataset, B)
+            self._onchip_n = host["sample_mask"].shape[0]
+            self._onchip_data = shard_batch(host, self.mesh)
+        n_batches = self._onchip_n // B
+
+        if self._epoch_scan is None:
+            rep = replicated_sharding(self.mesh)
+            dsh = data_sharding(self.mesh)
+            step = self._onchip_step
+
+            def epoch_scan(state, data, perm):
+                def body(st, i):
+                    idx = jax.lax.dynamic_slice_in_dim(perm, i * B, B)
+                    batch = jax.tree_util.tree_map(
+                        lambda a: jnp.take(a, idx, axis=0), data)
+                    st, loss, cm = step(st, batch)[:3]
+                    return st, (loss, cm)
+                state, (losses, cms) = jax.lax.scan(
+                    body, state, jnp.arange(n_batches))
+                return state, losses, jnp.sum(cms, axis=0)
+
+            self._epoch_scan = jax.jit(epoch_scan,
+                                       in_shardings=(rep, dsh, rep),
+                                       out_shardings=(rep, rep, rep),
+                                       donate_argnums=0)
+
+        shuffle = getattr(getattr(self.train_loader, "batcher", None),
+                          "shuffle", True)
+        if shuffle:
+            rng = np.random.default_rng(np.random.SeedSequence(
+                [self.config.train.seed, self._epoch_index, 104729]))
+            perm = rng.permutation(self._onchip_n).astype(np.int32)
+        else:
+            perm = np.arange(self._onchip_n, dtype=np.int32)
+        self.state, losses, cm = self._epoch_scan(self.state,
+                                                  self._onchip_data,
+                                                  jnp.asarray(perm))
+        self.last_host_stall_frac = 0.0
+        return float(jnp.mean(losses)), iou_from_confusion(
+            np.asarray(cm, np.int64))
+
     def train_epoch(self) -> Tuple[float, Dict]:
+        if self.config.train.onchip_epoch:
+            return self._run_epoch_onchip()
         return self._run_epoch(self.train_loader, train=True)
 
     def validate(self) -> Tuple[float, Dict]:
@@ -273,6 +335,7 @@ class Trainer:
         tc = self.config.train
         log(f"\nStarting training from epoch {start_epoch + 1}/{tc.num_epochs}")
         for epoch in range(start_epoch, tc.num_epochs):
+            self._epoch_index = epoch
             if hasattr(self.train_loader, "set_epoch"):
                 self.train_loader.set_epoch(epoch)
             t0 = time.perf_counter()

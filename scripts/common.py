@@ -30,6 +30,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="resume from <save_dir>/latest.ckpt if present")
     p.add_argument("--scan-steps", type=int, default=None,
                    help="chain K train steps per dispatch (lax.scan)")
+    p.add_argument("--onchip-epoch", action="store_true",
+                   help="run each train epoch as one lax.scan over an "
+                   "HBM-resident copy of the train set")
     p.add_argument("--num-workers", type=int, default=None,
                    help="parallel per-sample decode threads in the input "
                    "pipeline (reference DataLoader num_workers analog); "
@@ -60,6 +63,8 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         train_kw["seed"] = args.seed
     if getattr(args, "scan_steps", None) is not None:
         train_kw["scan_steps"] = args.scan_steps
+    if getattr(args, "onchip_epoch", False):
+        train_kw["onchip_epoch"] = True
     return cfg.replace(
         data=dataclasses.replace(cfg.data, **data_kw),
         train=dataclasses.replace(cfg.train, **train_kw))

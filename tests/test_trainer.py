@@ -117,6 +117,43 @@ class TestTrainerE2E:
         assert np.isfinite(loss)
         assert int(jax.device_get(trainer.state.step)) == 2
 
+    def test_onchip_epoch_matches_host_path(self, tmp_path):
+        """onchip_epoch=True runs the whole epoch as one lax.scan over the
+        HBM-resident train set; with shuffle off it reproduces the
+        host-driven epoch's loss/metrics (same fp-reorder tolerance as the
+        scan_steps test)."""
+        import dataclasses
+        cfg_a = _tiny_config(tmp_path, num_epochs=1)
+        cfg_b = cfg_a.replace(train=dataclasses.replace(
+            cfg_a.train, onchip_epoch=True,
+            save_dir=str(tmp_path / "run_onchip")))
+        results = {}
+        for name, cfg in (("host", cfg_a), ("onchip", cfg_b)):
+            train_ds, val_ds = create_datasets(cfg.data)
+            trainer = Trainer(
+                cfg, make_loader(train_ds, cfg.data.batch_size,
+                                 shuffle=False),
+                make_loader(val_ds, cfg.data.batch_size, shuffle=False))
+            loss, metrics = trainer.train_epoch()
+            results[name] = (loss, metrics["miou"])
+        assert results["host"][0] == pytest.approx(results["onchip"][0],
+                                                   rel=1e-4)
+        assert results["host"][1] == pytest.approx(results["onchip"][1],
+                                                   abs=1e-6)
+
+    def test_onchip_epoch_shuffles_and_learns(self, tmp_path):
+        """Shuffled on-chip epochs: per-epoch permutations differ and the
+        loss falls across epochs; padded tail rows stay masked."""
+        import dataclasses
+        cfg = _tiny_config(tmp_path, num_epochs=2)
+        cfg = cfg.replace(
+            data=dataclasses.replace(cfg.data, synthetic_num_train=12),
+            train=dataclasses.replace(cfg.train, onchip_epoch=True))
+        trainer = _make_trainer(cfg)  # 12 samples pad to 16 (batch 8)
+        best = trainer.train(log=lambda *a, **k: None)
+        assert 0.0 <= best <= 1.0
+        assert int(jax.device_get(trainer.state.step)) == 4  # 2 ep x 2 bat
+
     def test_eval_is_deterministic(self, tmp_path):
         cfg = _tiny_config(tmp_path, num_epochs=1)
         trainer = _make_trainer(cfg)
