@@ -56,7 +56,13 @@ class LidarEncoderConfig:
     point_cloud_range: Tuple[float, float, float, float, float, float] = (
         -50.0, -50.0, -5.0, 50.0, 50.0, 3.0)
     mlp_dims: Tuple[int, ...] = (64, 128)
-    # Use the Pallas voxelization kernel on TPU (lax segment-max otherwise).
+    # BEV scatter-max algorithm: "xla" (scatter HLO), "sorted" (sort +
+    # segmented prefix-max + gather — no scatter op at all; see
+    # ops/scatter.py::bev_scatter_max_sorted), or "pallas" (VMEM-resident
+    # kernel, ops/voxelize_pallas.py). Pick per measurement; equivalence of
+    # all three is pinned by tests.
+    scatter_impl: str = "xla"
+    # Deprecated alias: use_pallas=True == scatter_impl="pallas".
     use_pallas: bool = False
     width_mult: float = 1.0
 
@@ -201,6 +207,11 @@ class TrainConfig:
     # 256^2 sample). Same step math as the host-driven path; the padded
     # tail rows are -1-masked exactly like the Batcher's.
     onchip_epoch: bool = False
+    # Per-step tqdm progress bars over the train/val loaders (reference:
+    # trainer.py:81,100 wraps both in tqdm). Off by default: the bar's
+    # per-step loss read syncs the host every step, which costs throughput
+    # on chained-dispatch paths (scan_steps shows per-chunk updates instead).
+    progress: bool = False
     kd: KDConfig = field(default_factory=KDConfig)
 
 

@@ -9,8 +9,10 @@ Design differences from the torch version, driven by XLA/TPU:
     same op, expressed as batched matmuls that tile directly onto the MXU.
   * The scatter uses fixed-shape masked `.at[].max()` (ops/scatter.py) instead
     of boolean-mask gathers, so the whole encoder compiles under jit with no
-    dynamic shapes. A Pallas kernel path (ops/voxelize_pallas.py) can be
-    enabled via LidarEncoderConfig.use_pallas.
+    dynamic shapes. LidarEncoderConfig.scatter_impl selects among the XLA
+    scatter HLO, the sort-based scatter-free algorithm
+    (ops/scatter.py::bev_scatter_max_sorted), and the Pallas VMEM kernel
+    (ops/voxelize_pallas.py).
   * BatchNorm1d statistics reduce over (batch, points) — identical to torch.
 
 Reference parity quirk kept on purpose: the MLP runs over *all* points
@@ -27,7 +29,22 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lmsu_tpu.config import LidarEncoderConfig
-from lmsu_tpu.ops.scatter import bev_scatter_max, points_to_bev_indices
+from lmsu_tpu.ops.scatter import (bev_scatter_max, bev_scatter_max_sorted,
+                                  points_to_bev_indices)
+
+
+def _scatter(cfg: LidarEncoderConfig, feats, flat_idx, valid):
+    """Route to the configured scatter-max algorithm (all equivalent;
+    tests/test_ops.py, tests/test_pallas.py)."""
+    impl = "pallas" if cfg.use_pallas else cfg.scatter_impl
+    if impl == "pallas":
+        from lmsu_tpu.ops.voxelize_pallas import bev_scatter_max_pallas
+        return bev_scatter_max_pallas(feats, flat_idx, valid, cfg.grid_size)
+    if impl == "sorted":
+        return bev_scatter_max_sorted(feats, flat_idx, valid, cfg.grid_size)
+    if impl == "xla":
+        return bev_scatter_max(feats, flat_idx, valid, cfg.grid_size)
+    raise ValueError(f"Unknown scatter_impl: {cfg.scatter_impl}")
 
 
 class SpatialLiDAREncoder(nn.Module):
@@ -60,10 +77,7 @@ class SpatialLiDAREncoder(nn.Module):
             points[..., :2], cfg.grid_size, cfg.point_cloud_range)
         if point_valid is not None:
             valid = valid & point_valid
-        if cfg.use_pallas:
-            from lmsu_tpu.ops.voxelize_pallas import bev_scatter_max_pallas
-            return bev_scatter_max_pallas(x, flat_idx, valid, cfg.grid_size)
-        return bev_scatter_max(x, flat_idx, valid, cfg.grid_size)
+        return _scatter(cfg, x, flat_idx, valid)
 
 
 class PointPillarsLiDAREncoder(nn.Module):
@@ -118,7 +132,7 @@ class PointPillarsLiDAREncoder(nn.Module):
                              epsilon=1e-5, dtype=self.dtype,
                              name=f"bn{i}")(x)
             x = nn.relu(x)
-        return bev_scatter_max(x, flat_idx, valid, cfg.grid_size)
+        return _scatter(cfg, x, flat_idx, valid)
 
 
 class LiDAREncoder(nn.Module):

@@ -23,6 +23,7 @@ Implementation notes (TPU):
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -97,6 +98,103 @@ def bev_scatter_max(
     # of the torch output buffer.
     grid = jnp.where(jnp.isneginf(grid), jnp.zeros((), features.dtype), grid)
     return grid.reshape(B, H, W, C)
+
+
+def _scatter_max_dense_bwd(features, flat_idx, valid, out, g, grid_size):
+    """Shared dense VJP for scatter-max: route each cell's cotangent to the
+    point(s) that achieved the cell max; ties split evenly (matches the XLA
+    scatter-max VJP — ties are common: post-ReLU zeros and duplicated
+    zero-padded points collide at identical values)."""
+    B, N, C = features.shape
+    H, W = grid_size
+    out_flat = out.reshape(B, H * W, C)
+    g_flat = g.reshape(B, H * W, C)
+    idx = jnp.clip(flat_idx, 0, H * W - 1).astype(jnp.int32)
+    cell_max = jnp.take_along_axis(out_flat, idx[..., None], axis=1)
+    cell_g = jnp.take_along_axis(g_flat, idx[..., None], axis=1)
+    winner = (features == cell_max) & valid[..., None]
+    counts = jnp.zeros((B, H * W, C), jnp.float32).at[
+        jnp.arange(B)[:, None, None],
+        idx[..., None],
+        jnp.arange(C)[None, None, :]].add(winner.astype(jnp.float32))
+    per_point_count = jnp.take_along_axis(counts, idx[..., None], axis=1)
+    return jnp.where(
+        winner, cell_g / jnp.maximum(per_point_count, 1.0), 0.0
+    ).astype(features.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bev_scatter_max_sorted(
+    features: jnp.ndarray,
+    flat_idx: jnp.ndarray,
+    valid: jnp.ndarray,
+    grid_size: Tuple[int, int],
+) -> jnp.ndarray:
+    """Scatter-max with NO scatter: sort + segmented prefix-max + gather.
+
+    The serial per-point scatter HLO is the measured hot spot of the XLA
+    path (~18 ns/point on v5e — scalar-unit row updates). This variant is
+    built entirely from TPU-regular ops:
+
+      1. sort points by cell id (XLA bitonic sort on [B, N] int32 keys);
+      2. gather features into sorted order (dense row gather);
+      3. Hillis–Steele segmented inclusive prefix-max: log2(N) shifted
+         max+select passes — valid because equal sorted keys at distance k
+         imply one contiguous segment. Each segment's max lands at its last
+         element;
+      4. per-cell lookup via vectorized searchsorted(side='right')-1 and one
+         dense row gather; missed cells -> 0.
+
+    Same contract as bev_scatter_max (reference: lidar_encoder.py:90-96);
+    equivalence pinned by tests/test_ops.py. Backward shares the dense
+    even-tie-split VJP with the other scatter paths.
+    """
+    return _sorted_forward(features, flat_idx, valid, grid_size)
+
+
+def _sorted_forward(features, flat_idx, valid, grid_size):
+    B, N, C = features.shape
+    H, W = grid_size
+    ncells = H * W
+    # Invalid points get the sentinel id `ncells`: they sort to the end and
+    # can only merge with other sentinels; the final gather never looks
+    # there (cells < ncells).
+    idx = jnp.where(valid, flat_idx, ncells).astype(jnp.int32)
+    sidx, order = jax.lax.sort_key_val(
+        idx, jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32), (B, N)),
+        dimension=1)
+    x = jnp.take_along_axis(features, order[..., None], axis=1)
+
+    k = 1
+    while k < N:
+        same = (sidx[:, k:] == sidx[:, :-k])[..., None]
+        merged = jnp.where(same, jnp.maximum(x[:, k:], x[:, :-k]), x[:, k:])
+        x = jnp.concatenate([x[:, :k], merged], axis=1)
+        k *= 2
+
+    cells = jnp.arange(ncells, dtype=jnp.int32)
+    pos = jax.vmap(
+        lambda s: jnp.searchsorted(s, cells, side="right").astype(jnp.int32)
+    )(sidx) - 1
+    pos_c = jnp.clip(pos, 0, N - 1)
+    hit = (pos >= 0) & (jnp.take_along_axis(sidx, pos_c, axis=1) == cells[None])
+    out = jnp.take_along_axis(x, pos_c[..., None], axis=1)
+    out = jnp.where(hit[..., None], out, jnp.zeros((), features.dtype))
+    return out.reshape(B, H, W, C)
+
+
+def _sorted_fwd(features, flat_idx, valid, grid_size):
+    out = _sorted_forward(features, flat_idx, valid, grid_size)
+    return out, (features, flat_idx, valid, out)
+
+
+def _sorted_bwd(grid_size, residuals, g):
+    features, flat_idx, valid, out = residuals
+    return (_scatter_max_dense_bwd(features, flat_idx, valid, out, g,
+                                   grid_size), None, None)
+
+
+bev_scatter_max_sorted.defvjp(_sorted_fwd, _sorted_bwd)
 
 
 def bev_voxelize_max(

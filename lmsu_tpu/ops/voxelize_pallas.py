@@ -115,79 +115,6 @@ def _forward(features, flat_idx, valid, grid_size):
     return out.reshape(B, H, W, C)
 
 
-def _chunked_scatter_kernel(idx_ref, feat_ref, out_ref, feat32_ref, acc_ref,
-                            *, n_acc: int, stripe: int):
-    """Grid (B, n_chunks): the accumulator persists across a batch element's
-    chunk steps; n_acc independent stripes give the row-update loop ILP.
-    Chunking keeps the per-step feature block small, freeing VMEM for more
-    stripes than the single-block kernel can afford."""
-    c = pl.program_id(1)
-    n_chunks = pl.num_programs(1)
-    chunk_n = feat_ref.shape[0]
-    hw = out_ref.shape[0]
-
-    @pl.when(c == 0)
-    def _():
-        acc_ref[:] = jnp.full_like(acc_ref, -jnp.inf)
-
-    feat32_ref[:] = feat_ref[:].astype(jnp.float32)
-
-    def body(n, _):
-        base = (n % n_acc) * stripe
-        row = base + idx_ref[n, 0]
-        acc_ref[row, :] = jnp.maximum(acc_ref[row, :], feat32_ref[n, :])
-        return 0
-
-    jax.lax.fori_loop(0, chunk_n, body, 0)
-
-    @pl.when(c == n_chunks - 1)
-    def _():
-        grid = acc_ref[:hw, :]
-        for k in range(1, n_acc):
-            grid = jnp.maximum(grid, acc_ref[k * stripe:k * stripe + hw, :])
-        out_ref[:] = jnp.where(jnp.isneginf(grid), 0.0,
-                               grid).astype(out_ref.dtype)
-
-
-def bev_scatter_max_pallas_chunked(
-    features: jnp.ndarray, flat_idx: jnp.ndarray, valid: jnp.ndarray,
-    grid_size: Tuple[int, int], chunk: int = 1024, n_acc: int = 4,
-) -> jnp.ndarray:
-    """Chunked-grid variant of the Pallas scatter (forward only; wrap with
-    the same custom VJP as bev_scatter_max_pallas if it wins on hardware)."""
-    B, N, C = features.shape
-    H, W = grid_size
-    hw = H * W
-    idx = jnp.where(valid, flat_idx, hw).astype(jnp.int32)[..., None]
-    pad = (-N) % chunk
-    if pad:
-        features = jnp.pad(features, ((0, 0), (0, pad), (0, 0)))
-        idx = jnp.pad(idx, ((0, 0), (0, pad), (0, 0)),
-                      constant_values=hw)  # pads land in the junk rows
-    n_chunks = features.shape[1] // chunk
-    stripe = _round_up(hw + 8, 32)
-
-    interpret = jax.default_backend() == "cpu"
-    out = pl.pallas_call(
-        functools.partial(_chunked_scatter_kernel, n_acc=n_acc,
-                          stripe=stripe),
-        grid=(B, n_chunks),
-        in_specs=[
-            pl.BlockSpec((None, chunk, 1), lambda b, c: (b, c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, chunk, C), lambda b, c: (b, c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, hw, C), lambda b, c: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, hw, C), features.dtype),
-        scratch_shapes=[pltpu.VMEM((chunk, C), jnp.float32),
-                        pltpu.VMEM((n_acc * stripe, C), jnp.float32)],
-        interpret=interpret,
-    )(idx, features)
-    return out.reshape(B, H, W, C)
-
-
 def _fwd(features, flat_idx, valid, grid_size):
     out = _forward(features, flat_idx, valid, grid_size)
     return out, (features, flat_idx, valid, out)

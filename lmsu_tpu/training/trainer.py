@@ -172,11 +172,21 @@ class Trainer:
     # -- epoch loops -------------------------------------------------------
 
     def _run_epoch(self, loader, train: bool) -> Tuple[float, Dict]:
+        n_batches = len(loader) if hasattr(loader, "__len__") else None
         if train:  # measure input-pipeline stall (SURVEY §7 hard-part (e))
             loader = meter = StallMeter(loader)
+        bar = None
+        if self.config.train.progress:
+            # Per-step feedback (reference: trainer.py:81,100 tqdm loops).
+            from tqdm import tqdm
+            loader = bar = tqdm(loader, total=n_batches,
+                                desc="Training" if train else "Validation",
+                                leave=False)
         try:
             return self._run_epoch_inner(loader, train)
         finally:
+            if bar is not None:
+                bar.close()
             if train:
                 self.last_host_stall_frac = meter.stall_frac
 
@@ -196,6 +206,9 @@ class Trainer:
             total_loss += float(loss)
             cm_total += np.asarray(cm, np.int64)
             n_batches += 1
+            if hasattr(loader, "set_postfix"):
+                loader.set_postfix(loss=f"{total_loss / n_batches:.4f}",
+                                   refresh=False)
         metrics = iou_from_confusion(cm_total)
         return total_loss / max(n_batches, 1), metrics
 
@@ -236,6 +249,9 @@ class Trainer:
             total_loss += float(jnp.sum(losses))
             cm_total += np.asarray(cm, np.int64)
             n_batches += len(chunk)
+            if hasattr(loader, "set_postfix"):  # per-chunk progress update
+                loader.set_postfix(loss=f"{total_loss / n_batches:.4f}",
+                                   refresh=False)
 
         for batch in loader:
             pending.append(batch)

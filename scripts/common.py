@@ -33,6 +33,9 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--onchip-epoch", action="store_true",
                    help="run each train epoch as one lax.scan over an "
                    "HBM-resident copy of the train set")
+    p.add_argument("--progress", action="store_true",
+                   help="per-step tqdm progress bars (reference "
+                   "trainer.py:81 analog)")
     p.add_argument("--num-workers", type=int, default=None,
                    help="parallel per-sample decode threads in the input "
                    "pipeline (reference DataLoader num_workers analog); "
@@ -65,6 +68,8 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         train_kw["scan_steps"] = args.scan_steps
     if getattr(args, "onchip_epoch", False):
         train_kw["onchip_epoch"] = True
+    if getattr(args, "progress", False):
+        train_kw["progress"] = True
     return cfg.replace(
         data=dataclasses.replace(cfg.data, **data_kw),
         train=dataclasses.replace(cfg.train, **train_kw))

@@ -78,6 +78,67 @@ class TestScatter:
         assert bool(jnp.isfinite(g).all())
 
 
+class TestSortedScatter:
+    """bev_scatter_max_sorted: the scatter-free (sort + segmented prefix-max
+    + gather) algorithm must be bit-equal to the scatter HLO path, forward
+    and backward."""
+
+    def _inputs(self, rng, B=3, N=257, C=8, H=8, W=8, collide=False):
+        feats = jnp.asarray(rng.normal(0, 1, (B, N, C)).astype(np.float32))
+        hi = 4 if collide else H * W  # collide: many points per cell
+        idx = jnp.asarray(rng.integers(0, hi, (B, N)).astype(np.int32))
+        valid = jnp.asarray(rng.uniform(size=(B, N)) > 0.3)
+        return feats, idx, valid, (H, W)
+
+    @pytest.mark.parametrize("collide", [False, True])
+    def test_forward_matches_xla(self, rng, collide):
+        from lmsu_tpu.ops.scatter import bev_scatter_max_sorted
+        feats, idx, valid, gs = self._inputs(rng, collide=collide)
+        a = bev_scatter_max(feats, idx, valid, gs)
+        b = bev_scatter_max_sorted(feats, idx, valid, gs)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_grad_matches_xla_even_tie_split(self, rng):
+        from lmsu_tpu.ops.scatter import bev_scatter_max_sorted
+        feats, idx, valid, gs = self._inputs(rng)
+        # Force ties: duplicate some feature rows pointing at the same cell.
+        feats = feats.at[:, 1].set(feats[:, 0])
+        idx = idx.at[:, 1].set(idx[:, 0])
+        f1 = jax.jit(jax.grad(lambda x: jnp.sum(
+            jnp.sin(bev_scatter_max(x, idx, valid, gs)))))
+        f2 = jax.jit(jax.grad(lambda x: jnp.sum(
+            jnp.sin(bev_scatter_max_sorted(x, idx, valid, gs)))))
+        np.testing.assert_allclose(np.asarray(f1(feats)),
+                                   np.asarray(f2(feats)), atol=1e-6)
+
+    def test_all_invalid_and_negative_features(self, rng):
+        from lmsu_tpu.ops.scatter import bev_scatter_max_sorted
+        feats, idx, valid, gs = self._inputs(rng)
+        z = bev_scatter_max_sorted(feats, idx, jnp.zeros_like(valid), gs)
+        assert float(jnp.abs(z).max()) == 0.0
+        negf = -jnp.abs(feats)  # include_self=False: negatives must land
+        np.testing.assert_array_equal(
+            np.asarray(bev_scatter_max(negf, idx, valid, gs)),
+            np.asarray(bev_scatter_max_sorted(negf, idx, valid, gs)))
+
+    def test_encoder_scatter_impl_parity(self, rng):
+        """The spatial encoder gives identical outputs under every
+        scatter_impl (LidarEncoderConfig.scatter_impl routing)."""
+        import dataclasses
+        from lmsu_tpu.config import LidarEncoderConfig
+        from lmsu_tpu.models.lidar_encoder import LiDAREncoder
+        pts = jnp.asarray(rng.normal(0, 30, (2, 128, 4)).astype(np.float32))
+        outs = {}
+        for impl in ("xla", "sorted"):
+            cfg = LidarEncoderConfig(feature_dim=16, mlp_dims=(8, 16),
+                                     grid_size=(8, 8), scatter_impl=impl)
+            enc = LiDAREncoder(cfg)
+            vars_ = enc.init(jax.random.PRNGKey(0), pts, train=False)
+            outs[impl] = enc.apply(vars_, pts, train=False)
+        np.testing.assert_allclose(np.asarray(outs["xla"]),
+                                   np.asarray(outs["sorted"]), atol=1e-6)
+
+
 class TestLosses:
     def test_ce_matches_torch_semantics(self, rng):
         torch = pytest.importorskip("torch")

@@ -74,19 +74,6 @@ class TestScatterMaxPallas:
             np.asarray(bev_scatter_max(feats, idx, valid, HW)))
 
 
-class TestChunkedScatter:
-    def test_matches_xla_including_chunk_padding(self, rng):
-        from lmsu_tpu.ops.voxelize_pallas import bev_scatter_max_pallas_chunked
-        B, N, C, H, W = 2, 1500, 16, 8, 8  # 1500 % 512 != 0 -> padding path
-        feats = jnp.asarray(rng.normal(0, 1, (B, N, C)).astype(np.float32))
-        idx = jnp.asarray(rng.integers(0, H * W, (B, N)).astype(np.int32))
-        valid = jnp.asarray(rng.uniform(size=(B, N)) > 0.3)
-        a = bev_scatter_max(feats, idx, valid, (H, W))
-        b = bev_scatter_max_pallas_chunked(feats, idx, valid, (H, W),
-                                           chunk=512, n_acc=3)
-        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-
-
 class TestFusedFeatureMSE:
     def test_matches_lax_path(self, rng):
         s = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 32)).astype(np.float32))
