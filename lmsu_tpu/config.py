@@ -38,6 +38,19 @@ class CameraEncoderConfig:
     # utilization) recompute for HBM traffic of the 6x-expanded 128^2/64^2
     # activations — the measured bottleneck of the training step.
     remat: bool = False
+    # Eval-mode (train=False) forwards run each InvertedResidual stage as
+    # ONE fused Pallas kernel (ops/ir_fused.py): BN running stats fold to
+    # scale/bias and the 6x-expanded hidden activations never leave VMEM.
+    # The encoder step is HBM-bound (ROADMAP round-2 roofline), so this
+    # directly cuts the frozen-teacher forward and serving latency.
+    fused_inference: bool = False
+    # Train-mode forwards + backwards run through the fused custom-VJP
+    # Pallas kernels (ops/ir_fused.py): 3 forward passes + 3 backward
+    # passes per stage instead of XLA's per-ConvBNAct materialization —
+    # the expanded tensors touch HBM once (the stored depthwise output)
+    # instead of ~6 times. BN running averages update identically to the
+    # unfused path.
+    fused_train: bool = False
 
     @property
     def channels(self) -> Tuple[int, int, int]:

@@ -44,13 +44,15 @@ class TwinLiteEncoder(nn.Module):
     def __call__(self, images: jnp.ndarray, train: bool = False
                  ) -> Union[jnp.ndarray, Dict[str, jnp.ndarray]]:
         b1, b2, b4 = self.config.channels
-        kw = dict(dtype=self.dtype)
+        kw = dict(dtype=self.dtype,
+                  fused_inference=self.config.fused_inference,
+                  fused_train=self.config.fused_train)
         Stage = InvertedResidual
         if self.config.remat:
             # static_argnums: `train` (arg 2 incl. self) switches BN mode.
             Stage = nn.remat(InvertedResidual, static_argnums=(2,))
         x = ConvBNAct(b1, (3, 3), strides=(2, 2), act=relu6,
-                      name="stem", **kw)(images, train)
+                      name="stem", dtype=self.dtype)(images, train)
         x1 = Stage(b1, (1, 1), expansion_ratio=1,
                    name="stage1", **kw)(x, train)
         x2 = Stage(b2, (2, 2), expansion_ratio=6,

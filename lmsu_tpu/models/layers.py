@@ -66,18 +66,76 @@ class InvertedResidual(nn.Module):
 
     Reference: camera_encoder.py:9-51. ReLU6 activations; no activation after
     the projection BN; residual iff stride == 1 and in_ch == out_ch.
+
+    fused_inference: eval-mode calls run the whole block as one Pallas
+    kernel (ops/ir_fused.py) with BN folded — the expanded hidden tensor
+    stays in VMEM. Param layout is unchanged (the kernel reads this
+    module's own variables), so checkpoints are interchangeable.
     """
 
     features: int
     strides: Tuple[int, int] = (1, 1)
     expansion_ratio: int = 6
     dtype: Any = jnp.float32
+    fused_inference: bool = False
+    fused_train: bool = False
+
+    def _fused_train_call(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Training forward through the fused Pallas kernels
+        (ops/ir_fused.py): reads this module's own variables, runs the
+        custom-VJP block, and writes the BN running-average updates back
+        into the children's batch_stats subtrees (identical layout to the
+        unfused path, so checkpoints are interchangeable)."""
+        from lmsu_tpu.ops.ir_fused import fused_ir_train
+        p = self.variables["params"]
+        st = self.variables["batch_stats"]
+        has_expand = "expand" in p
+        Ce = p["depthwise"]["conv"]["kernel"].shape[-1]
+        if has_expand:
+            w1 = p["expand"]["conv"]["kernel"][0, 0]
+            g1 = p["expand"]["bn"]["scale"]
+            be1 = p["expand"]["bn"]["bias"]
+        else:
+            w1 = jnp.zeros((x.shape[-1], Ce))
+            g1 = jnp.zeros((Ce,))
+            be1 = jnp.zeros((Ce,))
+        out, (m1, v1, m2, v2, m3, v3) = fused_ir_train(
+            x.astype(self.dtype), w1, g1, be1,
+            p["depthwise"]["conv"]["kernel"][:, :, 0, :],
+            p["depthwise"]["bn"]["scale"], p["depthwise"]["bn"]["bias"],
+            p["project"]["conv"]["kernel"][0, 0],
+            p["project"]["bn"]["scale"], p["project"]["bn"]["bias"],
+            self.strides[0], has_expand, 1e-5)
+        if self.is_mutable_collection("batch_stats"):
+            mom = 0.9  # flax momentum 0.9 == torch 0.1 (layers docstring)
+
+            def ema(name, m, v):
+                old = st[name]["bn"]
+                self.put_variable("batch_stats", name, {"bn": {
+                    "mean": mom * old["mean"] + (1 - mom) * m,
+                    "var": mom * old["var"] + (1 - mom) * v}})
+            if has_expand:
+                ema("expand", m1, v1)
+            ema("depthwise", m2, v2)
+            ema("project", m3, v3)
+        return out
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         in_ch = x.shape[-1]
         hidden = int(round(in_ch * self.expansion_ratio))
         use_residual = self.strides == (1, 1) and in_ch == self.features
+        if (self.fused_inference and not train
+                and not self.is_initializing()):
+            from lmsu_tpu.ops.ir_fused import (fused_ir_infer,
+                                               params_from_variables)
+            p = params_from_variables(
+                {"params": self.variables["params"],
+                 "batch_stats": self.variables["batch_stats"]})
+            return fused_ir_infer(x.astype(self.dtype), p,
+                                  stride=self.strides[0])
+        if self.fused_train and train and not self.is_initializing():
+            return self._fused_train_call(x)
         y = x
         if self.expansion_ratio != 1:
             y = ConvBNAct(hidden, (1, 1), act=relu6, dtype=self.dtype,

@@ -168,6 +168,32 @@ def main():
         measure("camera_fwd+bwd(train)", cam_step, cam_vars["params"], n,
                 results)
 
+    if enabled("camera_fwd_fused"):
+        camf = TwinLiteEncoder(CameraEncoderConfig(fused_inference=True),
+                               dtype=dtype)
+
+        def cam_fwd_fused(carry):
+            out = camf.apply(cam_vars, images + carry, train=False)
+            return _chain_scalar(out)
+        measure("camera_fwd_fused(eval)", cam_fwd_fused,
+                jnp.zeros((), jnp.float32), n, results)
+
+    if enabled("camera_fwdbwd_fused"):
+        camt = TwinLiteEncoder(CameraEncoderConfig(fused_train=True),
+                               dtype=dtype)
+
+        def cam_step_fused(params):
+            def loss_fn(p):
+                out, _ = camt.apply(
+                    {"params": p, "batch_stats": cam_vars["batch_stats"]},
+                    images, train=True, mutable=["batch_stats"])
+                return sum(jnp.sum(jnp.square(v.astype(jnp.float32)))
+                           for v in out.values())
+            g = jax.grad(loss_fn)(params)
+            return jax.tree_util.tree_map(lambda a, b: a - 1e-7 * b, params, g)
+        measure("camera_fwd+bwd_fused", cam_step_fused, cam_vars["params"],
+                n, results)
+
     # --- teacher camera (2x wide), eval mode as in the KD step ---
     tcam = TwinLiteEncoder(CameraEncoderConfig(width_mult=2.0), dtype=dtype)
     tcam_vars = tcam.init(jax.random.PRNGKey(1), images[:1], train=False)
@@ -176,6 +202,17 @@ def main():
             out = tcam.apply(tcam_vars, images + carry, train=False)
             return _chain_scalar(out)
         measure("teacher_camera_fwd(eval)", tcam_fwd,
+                jnp.zeros((), jnp.float32), n, results)
+
+    if enabled("teacher_camera_fwd_fused"):
+        tcamf = TwinLiteEncoder(
+            CameraEncoderConfig(width_mult=2.0, fused_inference=True),
+            dtype=dtype)
+
+        def tcam_fwd_fused(carry):
+            out = tcamf.apply(tcam_vars, images + carry, train=False)
+            return _chain_scalar(out)
+        measure("teacher_camera_fwd_fused", tcam_fwd_fused,
                 jnp.zeros((), jnp.float32), n, results)
 
     # --- full models ---
