@@ -172,7 +172,7 @@ def _interpret():
 # VMEM. The kernels here are tuned by the _pick_cblk* models but Mosaic's
 # stack allocator keeps more temporaries live than the models count, so
 # raise the per-kernel cap and let the chunk models keep usage moderate.
-_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=120 << 20)
 
 
 def _vspec(shape):

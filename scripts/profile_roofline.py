@@ -53,6 +53,11 @@ def measure(name, fn, init_carry, n_iters, results):
     """Time fn (carry -> carry) chained n_iters times in one scan dispatch;
     record XLA cost analysis of the single-step executable."""
     import jax
+    import jax.numpy as jnp
+
+    # The scan donates its carry; copy so caller-owned arrays (e.g. the
+    # shared cam_vars params, also closed over by later components) survive.
+    init_carry = jax.tree_util.tree_map(jnp.copy, init_carry)
 
     @functools.partial(jax.jit, donate_argnums=0)
     def run(carry):
