@@ -69,11 +69,13 @@ class LidarEncoderConfig:
     point_cloud_range: Tuple[float, float, float, float, float, float] = (
         -50.0, -50.0, -5.0, 50.0, 50.0, 3.0)
     mlp_dims: Tuple[int, ...] = (64, 128)
-    # BEV scatter-max algorithm: "xla" (scatter HLO), "sorted" (sort +
-    # segmented prefix-max + gather — no scatter op at all; see
+    # BEV scatter-max algorithm: "xla" (scatter HLO, autodiff backward),
+    # "xla_fastbwd" (same forward, hand-written 3-pass backward — faster
+    # isolated, slower in the full KD step; docs/DESIGN.md), "sorted"
+    # (sort + segmented prefix-max + gather — no scatter op at all; see
     # ops/scatter.py::bev_scatter_max_sorted), or "pallas" (VMEM-resident
     # kernel, ops/voxelize_pallas.py). Pick per measurement; equivalence of
-    # all three is pinned by tests.
+    # all four is pinned by tests.
     scatter_impl: str = "xla"
     # Deprecated alias: use_pallas=True == scatter_impl="pallas".
     use_pallas: bool = False

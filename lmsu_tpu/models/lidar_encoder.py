@@ -29,7 +29,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from lmsu_tpu.config import LidarEncoderConfig
-from lmsu_tpu.ops.scatter import (bev_scatter_max, bev_scatter_max_sorted,
+from lmsu_tpu.ops.scatter import (bev_scatter_max, bev_scatter_max_fastbwd,
+                                  bev_scatter_max_sorted,
                                   points_to_bev_indices)
 
 
@@ -42,6 +43,8 @@ def _scatter(cfg: LidarEncoderConfig, feats, flat_idx, valid):
         return bev_scatter_max_pallas(feats, flat_idx, valid, cfg.grid_size)
     if impl == "sorted":
         return bev_scatter_max_sorted(feats, flat_idx, valid, cfg.grid_size)
+    if impl == "xla_fastbwd":
+        return bev_scatter_max_fastbwd(feats, flat_idx, valid, cfg.grid_size)
     if impl == "xla":
         return bev_scatter_max(feats, flat_idx, valid, cfg.grid_size)
     raise ValueError(f"Unknown scatter_impl: {cfg.scatter_impl}")

@@ -64,23 +64,7 @@ def points_to_bev_indices(
     return row * W + col, valid
 
 
-def bev_scatter_max(
-    features: jnp.ndarray,
-    flat_idx: jnp.ndarray,
-    valid: jnp.ndarray,
-    grid_size: Tuple[int, int],
-) -> jnp.ndarray:
-    """Max-scatter per-point features into a BEV grid.
-
-    Args:
-      features: [B, N, C] per-point features.
-      flat_idx: [B, N] int32 cell index in [0, H*W).
-      valid:    [B, N] bool.
-      grid_size: (H, W).
-
-    Returns:
-      [B, H, W, C] feature map; untouched cells are exactly 0.
-    """
+def _scatter_max_forward(features, flat_idx, valid, grid_size):
     B, N, C = features.shape
     H, W = grid_size
     ncells = H * W
@@ -100,27 +84,94 @@ def bev_scatter_max(
     return grid.reshape(B, H, W, C)
 
 
+def bev_scatter_max(
+    features: jnp.ndarray,
+    flat_idx: jnp.ndarray,
+    valid: jnp.ndarray,
+    grid_size: Tuple[int, int],
+) -> jnp.ndarray:
+    """Max-scatter per-point features into a BEV grid.
+
+    Args:
+      features: [B, N, C] per-point features.
+      flat_idx: [B, N] int32 cell index in [0, H*W).
+      valid:    [B, N] bool.
+      grid_size: (H, W).
+
+    Returns:
+      [B, H, W, C] feature map; untouched cells are exactly 0.
+
+    Differentiation goes through JAX autodiff (1 scatter + 4 gathers in
+    the backward). A hand-written 3-pass backward exists as
+    `bev_scatter_max_fastbwd` — faster in isolation (7.50 vs 8.33 ms
+    fwd+bwd at the bench shape) but slower inside the full KD step (XLA
+    fuses the autodiff gathers with surrounding work better), so autodiff
+    stays the default; see docs/DESIGN.md.
+    """
+    return _scatter_max_forward(features, flat_idx, valid, grid_size)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def bev_scatter_max_fastbwd(
+    features: jnp.ndarray,
+    flat_idx: jnp.ndarray,
+    valid: jnp.ndarray,
+    grid_size: Tuple[int, int],
+) -> jnp.ndarray:
+    """bev_scatter_max with a custom 3-pass backward
+    (_scatter_max_dense_bwd): gather(max) -> scatter-add(ties) ->
+    gather(g/ties) instead of autodiff's 5 row-serial ops. Measured on
+    v5e at B=32/N=5000/C=128: isolated fwd+bwd 7.50 ms vs autodiff's
+    8.33 ms, but the full student step is ~1.3 ms SLOWER — kept as the
+    documented record behind LidarEncoderConfig.scatter_impl="xla_fastbwd"
+    (same closure pattern as "sorted"). Same even-tie-split semantics,
+    pinned by tests/test_ops.py.
+    """
+    return _scatter_max_forward(features, flat_idx, valid, grid_size)
+
+
+def _bev_scatter_max_fwd(features, flat_idx, valid, grid_size):
+    out = _scatter_max_forward(features, flat_idx, valid, grid_size)
+    return out, (features, flat_idx, valid, out)
+
+
+def _bev_scatter_max_bwd(grid_size, residuals, g):
+    features, flat_idx, valid, out = residuals
+    return (_scatter_max_dense_bwd(features, flat_idx, valid, out, g,
+                                   grid_size), None, None)
+
+
 def _scatter_max_dense_bwd(features, flat_idx, valid, out, g, grid_size):
     """Shared dense VJP for scatter-max: route each cell's cotangent to the
     point(s) that achieved the cell max; ties split evenly (matches the XLA
     scatter-max VJP — ties are common: post-ReLU zeros and duplicated
-    zero-padded points collide at identical values)."""
+    zero-padded points collide at identical values).
+
+    Three row-serial passes (each [B*N] rows of C lanes, the same shape the
+    forward scatter pays):
+      1. gather each point's cell max -> winner mask;
+      2. row-wise scatter-add of the winner mask -> per-cell tie counts;
+      3. gather g / counts at each point's cell, masked by winner.
+    """
     B, N, C = features.shape
     H, W = grid_size
-    out_flat = out.reshape(B, H * W, C)
-    g_flat = g.reshape(B, H * W, C)
-    idx = jnp.clip(flat_idx, 0, H * W - 1).astype(jnp.int32)
+    ncells = H * W
+    out_flat = out.reshape(B, ncells, C)
+    idx = jnp.clip(flat_idx, 0, ncells - 1).astype(jnp.int32)
     cell_max = jnp.take_along_axis(out_flat, idx[..., None], axis=1)
-    cell_g = jnp.take_along_axis(g_flat, idx[..., None], axis=1)
     winner = (features == cell_max) & valid[..., None]
-    counts = jnp.zeros((B, H * W, C), jnp.float32).at[
-        jnp.arange(B)[:, None, None],
-        idx[..., None],
-        jnp.arange(C)[None, None, :]].add(winner.astype(jnp.float32))
-    per_point_count = jnp.take_along_axis(counts, idx[..., None], axis=1)
-    return jnp.where(
-        winner, cell_g / jnp.maximum(per_point_count, 1.0), 0.0
-    ).astype(features.dtype)
+
+    batch_offsets = (jnp.arange(B, dtype=jnp.int32) * ncells)[:, None]
+    sidx = jnp.where(valid, idx + batch_offsets, B * ncells).reshape(B * N)
+    counts = jnp.zeros((B * ncells, C), jnp.float32).at[sidx].add(
+        winner.reshape(B * N, C).astype(jnp.float32), mode="drop")
+    gn = (g.reshape(B, ncells, C).astype(jnp.float32)
+          / jnp.maximum(counts.reshape(B, ncells, C), 1.0))
+    per_point = jnp.take_along_axis(gn, idx[..., None], axis=1)
+    return jnp.where(winner, per_point, 0.0).astype(features.dtype)
+
+
+bev_scatter_max_fastbwd.defvjp(_bev_scatter_max_fwd, _bev_scatter_max_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
