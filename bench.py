@@ -84,9 +84,13 @@ def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
             t_ch[tap])
 
     tx = optax.adamw(1e-3, weight_decay=1e-3)
-    params = {"model": s_vars["params"], "proj": projs}
+    # The scan donates its carry (the TrainState), which would delete these
+    # buffers — copy them in so the returned s_vars stays usable (the eval-
+    # latency measurement reuses it after the throughput run).
+    copy = functools.partial(jax.tree_util.tree_map, jnp.copy)
+    params = {"model": copy(s_vars["params"]), "proj": projs}
     state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                       batch_stats=s_vars["batch_stats"],
+                       batch_stats=copy(s_vars["batch_stats"]),
                        opt_state=tx.init(params))
     class_weights = jnp.asarray([0.4, 3.5], jnp.float32)
 
@@ -164,54 +168,60 @@ def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
                                         length=n_iters)
         return st, cm, losses
 
-    single_step = jax.jit(functools.partial(kd_step, t_cached=t_cached))
-    args = (images, points, labels)
-    return run, state, n_iters, single_step, args, (student, s_vars)
-
-
-def step_flops(single_step, state, args) -> float:
-    """XLA's own FLOP estimate for one KD train step (fwd+bwd+opt)."""
-    try:
-        compiled = single_step.lower(state, *args).compile()
-        analysis = compiled.cost_analysis()
-        if isinstance(analysis, (list, tuple)):
-            analysis = analysis[0]
-        return float(analysis.get("flops", 0.0))
-    except Exception as e:  # cost model unavailable on some backends
-        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
-        return 0.0
+    return run, state, n_iters, (student, s_vars)
 
 
 def measure_batch(batch: int, compute_dtype, want_flops: bool = False,
                   cached_teacher: bool = False):
-    """Compile + time the KD step at one batch size. Returns a result dict
-    (or None on OOM)."""
+    """Compile + time the KD step at one batch size. Returns
+    (result dict, (student, s_vars)) — or (None, None) on OOM.
+
+    FLOPs come from the cost analysis of the already-compiled scan
+    executable — the axon compilation cache does not cover TPU
+    executables, so compiling a second single-step program just for its
+    cost analysis would double bench wall time (35-350 s per compile).
+    XLA counts the while body ONCE regardless of trip count (verified:
+    scan-50 raw count 679 GF vs 691 GF from a dedicated single-step
+    compile), so the raw number IS the per-step estimate — do not divide
+    by n_iters."""
     import jax
     try:
-        run, state, n_iters, single_step, args, _ = build_kd_bench(
+        run, state, n_iters, model = build_kd_bench(
             batch, compute_dtype, cached_teacher=cached_teacher)
         t0 = time.perf_counter()
-        state, cm, losses = run(state)
+        compiled = run.lower(state).compile()
+        flops = 0.0
+        if want_flops:
+            try:
+                analysis = compiled.cost_analysis()
+                if isinstance(analysis, (list, tuple)):
+                    analysis = analysis[0]
+                flops = float(analysis.get("flops", 0.0))
+            except Exception as e:  # cost model unavailable on some backends
+                print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+        # Call the explicitly-compiled executable (run(...) would re-trace
+        # and recompile — the jit dispatch cache does not reuse
+        # lower().compile()).
+        state, cm, losses = compiled(state)
         jax.block_until_ready(losses)
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        state, cm, losses = run(state)
+        state, cm, losses = compiled(state)
         jax.block_until_ready(losses)
         step_ms = (time.perf_counter() - t0) / n_iters * 1e3
         fps = batch / step_ms * 1e3
-        flops = step_flops(single_step, state, args) if want_flops else 0.0
         tag = "cached-teacher" if cached_teacher else "in-loop-teacher"
         print(f"B={batch:4d} [{tag}]: {step_ms:7.2f} ms/step  "
               f"{fps:8.1f} frames/s "
               f"(compile+warm {compile_s:.1f}s, loss {float(losses[-1]):.4f})",
               file=sys.stderr)
         return {"batch": batch, "step_ms": step_ms, "frames_per_sec": fps,
-                "flops_per_step": flops}
+                "flops_per_step": flops}, model
     except Exception as e:
         msg = str(e)
         if "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg.lower():
             print(f"B={batch}: OOM — skipped", file=sys.stderr)
-            return None
+            return None, None
         raise
 
 
@@ -275,17 +285,23 @@ def main() -> None:
         batches = [HEADLINE_BATCH if on_tpu else 4]
 
     results = []
+    model = None
     for b in batches:
-        r = measure_batch(b, compute_dtype, want_flops=True)
+        r, m = measure_batch(b, compute_dtype, want_flops=True)
         if r is not None:
             results.append(r)
+            model = m
+    if not results:
+        print(f"all measured batch sizes ({batches}) ran out of device "
+              f"memory — rerun with a smaller --batch", file=sys.stderr)
+        sys.exit(1)
     best = max(results, key=lambda r: r["frames_per_sec"])
 
     # The steady-state step with KDConfig.cache_teacher on (the teacher
     # forward comes from the precomputed cache — a first-class production
     # path, training/distill.py).
-    cached = measure_batch(best["batch"], compute_dtype, want_flops=True,
-                           cached_teacher=True)
+    cached, _ = measure_batch(best["batch"], compute_dtype, want_flops=True,
+                              cached_teacher=True)
 
     peak = PEAK_FLOPS.get(kind)
     mfu = None
@@ -297,8 +313,10 @@ def main() -> None:
               f"{achieved / 1e12:.1f} TFLOP/s = {mfu * 100:.1f}% of "
               f"{kind} bf16 peak ({peak / 1e12:.0f} TF/s)", file=sys.stderr)
 
-    # Eval latency on the headline-model student (fresh small build, B=1).
-    _, _, _, _, _, (student, s_vars) = build_kd_bench(1, compute_dtype)
+    # Eval latency on the headline-model student, reusing the model and
+    # variables the throughput measurement already built (avoids an extra
+    # teacher+projections init just to discard them).
+    student, s_vars = model
     p50_link, p50_onchip = measure_eval_latency(student, s_vars, on_tpu)
 
     detail = {

@@ -12,10 +12,12 @@ element, so the expanded activations (mostly) never touch HBM.
 
 Structure: every kernel runs with grid (B,) over ONE channel chunk of the
 expanded hidden dimension; the wrapper loops over chunks as separate
-pallas_calls and combines the (small) partial results in XLA. Per-chunk
-arrays keep their lane dimension full, which satisfies the Mosaic block
-constraint (lane dims must be 128-multiples OR the full array dim) for ANY
-chunk size — chunks are chosen from a VMEM model (_pick_cblk*).
+pallas_calls and combines the (small) partial results in XLA. Chunk policy
+(_hidden_chunk/_pad_to_lanes): hidden dims >= 128 are zero-padded to a
+multiple of 128 lanes and split into 128-wide chunks, so every vector op
+runs at full lane width and every reshape is lane-aligned; narrower
+hidden dims stay whole (satisfying the Mosaic block constraint that lane
+dims be 128-multiples OR the full array dim).
 
 Inference mode (`fused_ir_infer`): BN running stats fold into per-channel
 scale/bias, so one pass per chunk:
@@ -168,10 +170,25 @@ def _interpret():
     return jax.default_backend() == "cpu"
 
 
-# Mosaic's default scoped-VMEM limit is 16 MB; v5e has far more physical
-# VMEM. The kernels here are tuned by the _pick_cblk* models but Mosaic's
-# stack allocator keeps more temporaries live than the models count, so
-# raise the per-kernel cap and let the chunk models keep usage moderate.
+def _check_spatial(H: int, W: int, stride: int) -> None:
+    """The stride-2 subsample/dilate tricks assume even H/W (true for the
+    256^2 default: every stage sees a power-of-two size). The unfused flax
+    path handles odd dims (SAME-style ceil outputs) — fail loudly rather
+    than produce a confusing Mosaic reshape error."""
+    if stride == 2 and (H % 2 or W % 2):
+        raise ValueError(
+            f"fused InvertedResidual needs even spatial dims at stride-2 "
+            f"stages, got {H}x{W}; use the unfused path "
+            f"(CameraEncoderConfig.fused_inference/fused_train=False) for "
+            f"image sizes not divisible by 16.")
+
+
+# Mosaic's default scoped-VMEM limit is too small for these kernels:
+# the training backward (_dw_bwd_kernel) keeps ~14 full spatial planes
+# live at once, each lane-padded to 128 channels (112 MB measured for a
+# 128x128 stage at the default cap's 96 MB scoped limit), so raise the
+# per-kernel cap toward v5e's 128 MB physical VMEM. The 128-lane chunk
+# policy (_hidden_chunk/_pad_to_lanes) bounds per-plane size.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=120 << 20)
 
 
@@ -262,6 +279,7 @@ def fused_ir_infer(x: jnp.ndarray, p: IRParams, *, stride: int = 1
     Ce = p.dw.shape[-1]
     Cout = p.w2.shape[-1]
     residual = stride == 1 and Cin == Cout
+    _check_spatial(H, W, stride)
     Ho, Wo = H // stride, W // stride
     if not has_expand and Ce != Cin:
         raise ValueError("expansion-1 block must have Ce == Cin")
@@ -535,6 +553,7 @@ def _pad_hidden(w1, g1, be1, dwk, g2, be2, w2, padc):
 def _ir_train_forward(x, w1, g1, be1, dwk, g2, be2, w2, g3, be3,
                       stride, has_expand, eps):
     B, H, W, Cin = x.shape
+    _check_spatial(H, W, stride)
     Ce0 = dwk.shape[-1]
     Cout = w2.shape[-1]
     Ho, Wo = H // stride, W // stride

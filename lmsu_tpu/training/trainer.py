@@ -274,6 +274,12 @@ class Trainer:
         the synthetic train set at 256^2 is ~0.3 MB/sample."""
         from lmsu_tpu.data.pipeline import materialize_dataset
         B = self.config.data.batch_size
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "onchip_epoch is single-process: the epoch scan gathers "
+                "from one HBM-resident copy of the whole dataset, which "
+                "multi-host shard_batch would replicate per process. Use "
+                "the host loader path under multi-host data parallelism.")
         if self._onchip_data is None:
             if not hasattr(self.train_loader, "batcher"):
                 raise ValueError("onchip_epoch needs a Batcher-based loader")
@@ -303,11 +309,16 @@ class Trainer:
                                        out_shardings=(rep, rep, rep),
                                        donate_argnums=0)
 
-        shuffle = getattr(getattr(self.train_loader, "batcher", None),
-                          "shuffle", True)
+        batcher = getattr(self.train_loader, "batcher", None)
+        shuffle = getattr(batcher, "shuffle", True)
+        # Epoch index: honor the loader's set_epoch API (the same hook the
+        # host path uses for its shuffle), falling back to the count
+        # Trainer.train() advances — so manual `loader.set_epoch(e);
+        # trainer.train_epoch()` driving reshuffles here too.
+        epoch = max(getattr(batcher, "_epoch", 0), self._epoch_index)
         if shuffle:
             rng = np.random.default_rng(np.random.SeedSequence(
-                [self.config.train.seed, self._epoch_index, 104729]))
+                [self.config.train.seed, epoch, 104729]))
             perm = rng.permutation(self._onchip_n).astype(np.int32)
         else:
             perm = np.arange(self._onchip_n, dtype=np.int32)

@@ -65,12 +65,13 @@ def measure(name, fn, init_carry, n_iters, results):
             return fn(c), 0.0
         return jax.lax.scan(body, carry, None, length=n_iters)[0]
 
-    # Cost analysis comes from the SCAN executable divided by n_iters —
-    # remote TPU compiles here cost 35-350 s each and are not cached across
-    # processes, so compiling a second single-step executable per component
-    # would double the wall cost. (XLA counts a while-loop body once per
-    # trip when the trip count is static; sanity-checked against the
-    # single-step count bench.py reports: 691.3 GF for the in-loop KD step.)
+    # Cost analysis comes from the SCAN executable — remote TPU compiles
+    # here cost 35-350 s each and are not cached across processes, so
+    # compiling a second single-step executable per component would double
+    # the wall cost. XLA counts the while body ONCE regardless of the
+    # static trip count (verified: the KD-step scan's raw count is 679 GF
+    # vs 691 GF from a dedicated single-step compile), so the raw numbers
+    # ARE the per-step estimates — do not divide by n_iters.
     flops = bytes_acc = 0.0
     t0 = time.perf_counter()
     lowered = run.lower(init_carry)
@@ -79,8 +80,8 @@ def measure(name, fn, init_carry, n_iters, results):
         ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0)) / n_iters
-        bytes_acc = float(ca.get("bytes accessed", 0.0)) / n_iters
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
     except Exception as e:
         print(f"{name}: cost_analysis failed: {e}", file=sys.stderr)
 
