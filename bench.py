@@ -13,6 +13,8 @@ Usage:
   python bench.py            # headline: best measured batch size (see sweep)
   python bench.py --sweep    # full B in {32,64,128,256} sweep, prints table
   python bench.py --batch 64 # one specific batch size
+  python bench.py --tiny     # scaled-down smoke (tests/test_bench.py; not
+                             # a comparable number)
 
 Round-2 sweep result (v5e, bf16, measured once then pinned as the default):
 see ROADMAP.md §"Batch-size sweep"; the headline batch below is the argmax.
@@ -40,37 +42,60 @@ PEAK_FLOPS = {"TPU v5e": 197e12, "TPU v5 lite": 197e12}
 HEADLINE_BATCH = 32
 
 
+def bench_shapes(tiny: bool):
+    """(image_hw, num_points, label_hw) for the bench inputs."""
+    return (64, 512, 16) if tiny else (256, 5000, 64)
+
+
 def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
-                   cached_teacher: bool = False):
-    """Returns (run, state, single_step) where run(state) executes n_iters
-    chained KD train steps in one lax.scan dispatch.
+                   cached_teacher: bool = False, tiny: bool = False):
+    """Returns (run, state, n_iters, (student, s_vars)) where run(state)
+    executes n_iters chained KD train steps in one lax.scan dispatch.
 
     cached_teacher=True measures the steady-state step when
     KDConfig.cache_teacher is on (training/distill.py): the frozen
     teacher's outputs come from the cache (here: precomputed once for the
     bench batch), so the step is student fwd+bwd + 3-term KD loss + AdamW —
-    the teacher forward is off the critical path."""
+    the teacher forward is off the critical path.
+
+    tiny=True builds a scaled-down model + inputs (64^2 image, 512 points,
+    16^2 grid) so the whole bench path smoke-tests in minutes on the CPU
+    test mesh — the full-size frozen teacher otherwise stalls XLA:CPU's
+    constant folding for tens of minutes (tests/test_bench.py)."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from lmsu_tpu.config import KDConfig, ModelConfig, teacher_config
+    from lmsu_tpu.config import (CameraEncoderConfig, KDConfig,
+                                 LidarEncoderConfig, ModelConfig,
+                                 teacher_config)
     from lmsu_tpu.models import create_model, init_model
     from lmsu_tpu.ops.losses import kd_total_loss
     from lmsu_tpu.ops.metrics import confusion_matrix
     from lmsu_tpu.training.trainer import TrainState
 
-    student_cfg = ModelConfig(num_classes=2, fusion_type="weighted",
-                              fusion_out_channels=128,
-                              compute_dtype=compute_dtype)
+    if tiny:
+        student_cfg = ModelConfig(
+            num_classes=2, fusion_type="weighted", fusion_out_channels=32,
+            camera_fpn_channels=16, compute_dtype=compute_dtype,
+            camera=CameraEncoderConfig(base_channels=8),
+            lidar=LidarEncoderConfig(feature_dim=32, mlp_dims=(16, 32),
+                                     grid_size=(16, 16)))
+    else:
+        student_cfg = ModelConfig(num_classes=2, fusion_type="weighted",
+                                  fusion_out_channels=128,
+                                  compute_dtype=compute_dtype)
+    img_hw, n_pts, label_hw = bench_shapes(tiny)
     teacher_cfg = teacher_config(student_cfg, 2.0)
     kd = KDConfig(enabled=True, feature_taps=("camera_feat", "lidar_feat",
                                               "post_fusion"))
 
     student = create_model(student_cfg)
     teacher = create_model(teacher_cfg)
-    s_vars = init_model(student, jax.random.PRNGKey(0), batch_size=1)
-    t_vars = init_model(teacher, jax.random.PRNGKey(1), batch_size=1)
+    s_vars = init_model(student, jax.random.PRNGKey(0), batch_size=1,
+                        image_size=(img_hw, img_hw), num_points=n_pts)
+    t_vars = init_model(teacher, jax.random.PRNGKey(1), batch_size=1,
+                        image_size=(img_hw, img_hw), num_points=n_pts)
 
     # KD projections teacher->student per tap.
     from lmsu_tpu.training.distill import _tap_channels
@@ -130,12 +155,13 @@ def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
                              batch_stats=new_stats, opt_state=opt_state), loss, cm
 
     rng = np.random.default_rng(seed)
-    images = jnp.asarray(rng.uniform(0, 1, (batch, 256, 256, 3)),
+    images = jnp.asarray(rng.uniform(0, 1, (batch, img_hw, img_hw, 3)),
                          jnp.float32)
-    pts = rng.normal(0, 30, (batch, 5000, 4)).astype(np.float32)
-    pts[..., 2] = rng.uniform(-5, 3, (batch, 5000))
+    pts = rng.normal(0, 30, (batch, n_pts, 4)).astype(np.float32)
+    pts[..., 2] = rng.uniform(-5, 3, (batch, n_pts))
     points = jnp.asarray(pts)
-    labels = jnp.asarray(rng.integers(0, 2, (batch, 64, 64)), jnp.int32)
+    labels = jnp.asarray(rng.integers(0, 2, (batch, label_hw, label_hw)),
+                         jnp.int32)
 
     # K steps chained in one lax.scan: measures the step's on-chip
     # throughput. (Per-dispatch python-loop timing adds host-link overhead —
@@ -172,7 +198,7 @@ def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
 
 
 def measure_batch(batch: int, compute_dtype, want_flops: bool = False,
-                  cached_teacher: bool = False):
+                  cached_teacher: bool = False, tiny: bool = False):
     """Compile + time the KD step at one batch size. Returns
     (result dict, (student, s_vars)) — or (None, None) on OOM.
 
@@ -187,7 +213,7 @@ def measure_batch(batch: int, compute_dtype, want_flops: bool = False,
     import jax
     try:
         run, state, n_iters, model = build_kd_bench(
-            batch, compute_dtype, cached_teacher=cached_teacher)
+            batch, compute_dtype, cached_teacher=cached_teacher, tiny=tiny)
         t0 = time.perf_counter()
         compiled = run.lower(state).compile()
         flops = 0.0
@@ -225,13 +251,14 @@ def measure_batch(batch: int, compute_dtype, want_flops: bool = False,
         raise
 
 
-def measure_eval_latency(student, s_vars, on_tpu: bool):
+def measure_eval_latency(student, s_vars, on_tpu: bool, tiny: bool = False):
     """(p50 incl. host link, on-chip scan-amortized) eval latency, B=1."""
     import jax
     import jax.numpy as jnp
+    img_hw, n_pts, _ = bench_shapes(tiny)
     rng = np.random.default_rng(7)
-    i1 = jnp.asarray(rng.uniform(0, 1, (1, 256, 256, 3)), jnp.float32)
-    p1 = jnp.asarray(rng.normal(0, 30, (1, 5000, 4)), jnp.float32)
+    i1 = jnp.asarray(rng.uniform(0, 1, (1, img_hw, img_hw, 3)), jnp.float32)
+    p1 = jnp.asarray(rng.normal(0, 30, (1, n_pts, 4)), jnp.float32)
     eval_fn = jax.jit(lambda v, i, p: student.apply(v, i, p, train=False))
     jax.block_until_ready(eval_fn(s_vars, i1, p1))
     lats = []
@@ -266,6 +293,10 @@ def main() -> None:
                     help="sweep B in {32,64,128,256} and print a table")
     ap.add_argument("--batch", type=int, default=None,
                     help="single batch size (default: pinned headline batch)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="scaled-down model + inputs: smoke-tests the whole "
+                         "bench path in minutes on CPU (tests/test_bench.py)"
+                         " — NOT a comparable throughput number")
     args = ap.parse_args()
 
     import jax
@@ -287,7 +318,8 @@ def main() -> None:
     results = []
     model = None
     for b in batches:
-        r, m = measure_batch(b, compute_dtype, want_flops=True)
+        r, m = measure_batch(b, compute_dtype, want_flops=True,
+                             tiny=args.tiny)
         if r is not None:
             results.append(r)
             model = m
@@ -301,7 +333,7 @@ def main() -> None:
     # forward comes from the precomputed cache — a first-class production
     # path, training/distill.py).
     cached, _ = measure_batch(best["batch"], compute_dtype, want_flops=True,
-                              cached_teacher=True)
+                              cached_teacher=True, tiny=args.tiny)
 
     peak = PEAK_FLOPS.get(kind)
     mfu = None
@@ -317,7 +349,8 @@ def main() -> None:
     # variables the throughput measurement already built (avoids an extra
     # teacher+projections init just to discard them).
     student, s_vars = model
-    p50_link, p50_onchip = measure_eval_latency(student, s_vars, on_tpu)
+    p50_link, p50_onchip = measure_eval_latency(student, s_vars, on_tpu,
+                                                tiny=args.tiny)
 
     detail = {
         "batch": best["batch"],
@@ -328,6 +361,8 @@ def main() -> None:
                    "frames_per_sec": round(r["frames_per_sec"], 1)}
                   for r in results],
     }
+    if args.tiny:
+        detail["tiny"] = True  # smoke-mode numbers: not comparable
     if cached is not None:
         detail["cached_teacher_frames_per_sec"] = round(
             cached["frames_per_sec"], 2)
