@@ -106,7 +106,11 @@ class SyntheticMultiModalDataset:
         pts = pts[rng.permutation(n_total)]
 
         # --- Camera: top-down render of the same scene + noise ---
-        up = np.kron(road, np.ones((ih // H, iw // W)))[:ih, :iw]
+        # Nearest-neighbor upsample via index mapping: exact for integer
+        # ratios (where it equals np.kron) and correct for ANY image/grid
+        # combination, including non-multiples and image_size < grid_size
+        # (kron with a zero-or-truncated tile would crash or misalign).
+        up = road[(np.arange(ih) * H) // ih][:, (np.arange(iw) * W) // iw]
         img = np.empty((ih, iw, 3), np.float32)
         img[..., 0] = np.where(up > 0, 0.45, 0.15)
         img[..., 1] = np.where(up > 0, 0.45, 0.40)

@@ -94,7 +94,14 @@ class HistoryWriter:
         with open(self.path, "w") as f:
             json.dump(self.history, f, indent=2)
 
-    def load(self) -> None:
+    def load(self, truncate: Optional[int] = None) -> None:
+        """Restore prior epochs so a resumed run appends instead of
+        rewriting the file from scratch (the reference truncates history on
+        resume — trainer.py:144-152 starts empty — which destroys the
+        earlier curves; we keep them). truncate=N keeps only the first N
+        entries, aligning the lists with the resumed epoch counter."""
         if os.path.exists(self.path):
             with open(self.path) as f:
-                self.history = json.load(f)
+                data = json.load(f)
+            self.history = {k: list(data.get(k, []))[:truncate]
+                            for k in self.KEYS}

@@ -346,13 +346,22 @@ class DistillationTrainer(Trainer):
             * bytes_per_elem
         total = per_sample * n
 
-        if total <= self.kd.cache_hbm_limit_bytes:
+        # The HBM cache is a plain (process-local) device array, so it is
+        # only valid single-process; multi-host runs always take the
+        # host-RAM path below, whose replicated teacher_forward gives every
+        # process the full rows it needs.
+        if total <= self.kd.cache_hbm_limit_bytes and jax.process_count() == 1:
             cache = {k: jnp.zeros((n,) + s, dt) for k, s in shapes.items()}
+            filled = np.zeros((n,), bool)
             # Cache entries are keyed by sample index, so any epoch order
             # works.
             for batch in self.train_loader:
+                filled[np.asarray(batch["sample_index"])] = True
                 batch = shard_batch(batch, self.mesh)
                 cache = self.fill_cache_step(cache, batch)
+            # A loader that skips samples (e.g. drop_last) would leave
+            # all-zero teacher rows that silently corrupt the KD targets.
+            assert filled.all(), "teacher cache fill missed samples"
             self.teacher_cache = cache
             return
 

@@ -273,7 +273,13 @@ class Trainer:
         dispatch. Kills residual host dispatch/input overhead (ROADMAP §5);
         the synthetic train set at 256^2 is ~0.3 MB/sample."""
         from lmsu_tpu.data.pipeline import materialize_dataset
-        B = self.config.data.batch_size
+        if not hasattr(self.train_loader, "batcher"):
+            raise ValueError("onchip_epoch needs a Batcher-based loader")
+        # The loader's batch size is authoritative (callers may pass one
+        # different from config.data.batch_size): len(train_loader) drives
+        # the cosine schedule, so the on-chip epoch must take the same
+        # number of optimizer steps as the host path.
+        B = self.train_loader.batcher.batch_size
         if jax.process_count() > 1:
             raise NotImplementedError(
                 "onchip_epoch is single-process: the epoch scan gathers "
@@ -281,8 +287,6 @@ class Trainer:
                 "multi-host shard_batch would replicate per process. Use "
                 "the host loader path under multi-host data parallelism.")
         if self._onchip_data is None:
-            if not hasattr(self.train_loader, "batcher"):
-                raise ValueError("onchip_epoch needs a Batcher-based loader")
             host = materialize_dataset(self.train_loader.batcher.dataset, B)
             self._onchip_n = host["sample_mask"].shape[0]
             self._onchip_data = shard_batch(host, self.mesh)
@@ -298,15 +302,20 @@ class Trainer:
                     idx = jax.lax.dynamic_slice_in_dim(perm, i * B, B)
                     batch = jax.tree_util.tree_map(
                         lambda a: jnp.take(a, idx, axis=0), data)
-                    st, loss, cm = step(st, batch)[:3]
-                    return st, (loss, cm)
-                state, (losses, cms) = jax.lax.scan(
+                    outs = step(st, batch)
+                    st, loss, cm = outs[:3]
+                    # KD steps return a 4th element (loss parts dict);
+                    # thread it through so diagnostics stay live on-chip.
+                    parts = outs[3] if len(outs) > 3 else {}
+                    return st, (loss, cm, parts)
+                state, (losses, cms, parts) = jax.lax.scan(
                     body, state, jnp.arange(n_batches))
-                return state, losses, jnp.sum(cms, axis=0)
+                last_parts = jax.tree_util.tree_map(lambda x: x[-1], parts)
+                return state, losses, jnp.sum(cms, axis=0), last_parts
 
             self._epoch_scan = jax.jit(epoch_scan,
                                        in_shardings=(rep, dsh, rep),
-                                       out_shardings=(rep, rep, rep),
+                                       out_shardings=(rep, rep, rep, rep),
                                        donate_argnums=0)
 
         batcher = getattr(self.train_loader, "batcher", None)
@@ -322,9 +331,11 @@ class Trainer:
             perm = rng.permutation(self._onchip_n).astype(np.int32)
         else:
             perm = np.arange(self._onchip_n, dtype=np.int32)
-        self.state, losses, cm = self._epoch_scan(self.state,
-                                                  self._onchip_data,
-                                                  jnp.asarray(perm))
+        self.state, losses, cm, parts = self._epoch_scan(self.state,
+                                                         self._onchip_data,
+                                                         jnp.asarray(perm))
+        if parts:  # KD step: keep last_loss_parts live (distill.py)
+            self.last_loss_parts = {k: float(v) for k, v in parts.items()}
         self.last_host_stall_frac = 0.0
         return float(jnp.mean(losses)), iou_from_confusion(
             np.asarray(cm, np.int64))
@@ -350,8 +361,16 @@ class Trainer:
     def load_checkpoint(self, path: str) -> int:
         restored = ckpt.load_checkpoint(path, self._state_dict())
         self.state = replicate(restored["state"], self.mesh)
-        self.best_miou = float(restored["val_miou"])
         start_epoch = int(restored["epoch"]) + 1
+        # Restore history so the resumed run appends to the earlier curves,
+        # and take best_miou from the historical maximum — latest.ckpt
+        # stores the LAST epoch's val mIoU, and seeding best_miou from it
+        # (as the reference does, trainer.py:138) would let a worse model
+        # overwrite best.ckpt after resume.
+        self.history.load(truncate=start_epoch)
+        prior = self.history.history.get("val_miou", [])
+        self.best_miou = max([float(restored["val_miou"])]
+                             + [float(v) for v in prior])
         print(f"Resumed from {path}, starting at epoch {start_epoch}, "
               f"best mIoU {self.best_miou:.4f}")
         return start_epoch

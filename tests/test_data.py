@@ -81,6 +81,26 @@ class TestSynthetic:
         c = ds[0]
         assert not np.array_equal(a["image"], c["image"])
 
+    def test_non_multiple_image_grid_sizes(self):
+        """Any image/grid combination must render (the old kron upsample
+        crashed for non-multiples and image_size < grid_size); the render
+        must still be the nearest-neighbor upsample of the road mask."""
+        for ih, iw, H, W in [(100, 100, 64, 64), (32, 48, 64, 64),
+                             (96, 96, 16, 16)]:
+            ds = SyntheticMultiModalDataset(num_samples=1,
+                                            image_size=(ih, iw),
+                                            grid_size=(H, W), max_points=64)
+            item = ds[0]
+            assert item["image"].shape == (ih, iw, 3)
+            assert item["segmentation"].shape == (H, W)
+        # integer-ratio case: red channel is bright exactly on road cells
+        ds = SyntheticMultiModalDataset(num_samples=1, image_size=(32, 32),
+                                        grid_size=(16, 16), max_points=64)
+        item = ds[0]
+        up = np.repeat(np.repeat(item["segmentation"], 2, 0), 2, 1)
+        bright = item["image"][..., 0].astype(np.float32) / 255.0 > 0.3
+        assert (bright == (up > 0)).mean() > 0.95  # noise flips a few px
+
     def test_lidar_road_correlation(self):
         """Road cells must receive more points — the learnability contract."""
         ds = SyntheticMultiModalDataset(num_samples=1, image_size=(32, 32),

@@ -81,6 +81,30 @@ class TestTrainerE2E:
         assert int(jax.device_get(t2.state.step)) == int(
             jax.device_get(t1.state.step))
 
+    def test_resume_restores_history_and_historical_best(self, tmp_path):
+        """Resume must append to the prior curves (not truncate
+        training_history.json) and seed best_miou from the HISTORICAL best,
+        not the last epoch's value — otherwise a post-resume epoch worse
+        than the true best overwrites best.ckpt."""
+        cfg = _tiny_config(tmp_path, num_epochs=1)
+        t1 = _make_trainer(cfg)
+        t1.train(log=lambda *a, **k: None)
+        hist_path = os.path.join(cfg.train.save_dir, "training_history.json")
+        with open(hist_path) as f:
+            hist = json.load(f)
+        # Simulate a run whose recorded epoch beat the checkpointed one.
+        hist["val_miou"] = [0.95]
+        with open(hist_path, "w") as f:
+            json.dump(hist, f)
+
+        t2 = _make_trainer(cfg)
+        start = t2.load_checkpoint(os.path.join(cfg.train.save_dir,
+                                                "latest.ckpt"))
+        assert start == 1
+        assert t2.best_miou == 0.95          # historical max, not last epoch
+        assert t2.history.history["val_miou"] == [0.95]  # curves preserved
+        assert all(len(v) == 1 for v in t2.history.history.values())
+
     def test_scanned_epoch_matches_per_batch(self, tmp_path):
         """scan_steps>1 chains K steps in one dispatch with identical math."""
         import dataclasses
