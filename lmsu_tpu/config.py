@@ -41,15 +41,18 @@ class CameraEncoderConfig:
     # Eval-mode (train=False) forwards run each InvertedResidual stage as
     # ONE fused Pallas kernel (ops/ir_fused.py): BN running stats fold to
     # scale/bias and the 6x-expanded hidden activations never leave VMEM.
-    # The encoder step is HBM-bound (ROADMAP round-2 roofline), so this
-    # directly cuts the frozen-teacher forward and serving latency.
+    # Measured SLOWER than XLA at the bench shape (docs/DESIGN.md closure);
+    # shipped as the documented record. Like every Pallas opt-in here,
+    # single-chip scope: GSPMD has no partitioning rule for Mosaic custom
+    # calls, so do not enable under a >1-device sharded step.
     fused_inference: bool = False
     # Train-mode forwards + backwards run through the fused custom-VJP
     # Pallas kernels (ops/ir_fused.py): 3 forward passes + 3 backward
     # passes per stage instead of XLA's per-ConvBNAct materialization —
     # the expanded tensors touch HBM once (the stored depthwise output)
     # instead of ~6 times. BN running averages update identically to the
-    # unfused path.
+    # unfused path. Measured SLOWER than XLA (docs/DESIGN.md closure);
+    # single-chip scope, as above.
     fused_train: bool = False
 
     @property
@@ -74,8 +77,10 @@ class LidarEncoderConfig:
     # isolated, slower in the full KD step; docs/DESIGN.md), "sorted"
     # (sort + segmented prefix-max + gather — no scatter op at all; see
     # ops/scatter.py::bev_scatter_max_sorted), or "pallas" (VMEM-resident
-    # kernel, ops/voxelize_pallas.py). Pick per measurement; equivalence of
-    # all four is pinned by tests.
+    # kernel, ops/voxelize_pallas.py — single-chip only: GSPMD cannot
+    # partition Mosaic custom calls, so don't combine with a >1-device
+    # sharded step). Pick per measurement; equivalence of all four is
+    # pinned by tests.
     scatter_impl: str = "xla"
     # Deprecated alias: use_pallas=True == scatter_impl="pallas".
     use_pallas: bool = False
@@ -95,7 +100,8 @@ class ModelConfig:
     camera_fpn_stages: Optional[Tuple[str, ...]] = ("stage3", "stage4", "stage5")
     output_mode: str = "same"  # "same" | "x4"
     # Route the weighted-fusion gate through the fused Pallas kernel
-    # (ops/fusion_pallas.py) instead of the XLA ops.
+    # (ops/fusion_pallas.py) instead of the XLA ops. Single-chip only
+    # (GSPMD cannot partition Mosaic custom calls).
     use_pallas_fusion: bool = False
     camera: CameraEncoderConfig = field(default_factory=CameraEncoderConfig)
     lidar: LidarEncoderConfig = field(default_factory=LidarEncoderConfig)
@@ -173,7 +179,9 @@ class KDConfig:
     feature_taps: Tuple[str, ...] = ("camera_feat", "lidar_feat", "post_fusion")
     teacher_width_mult: float = 2.0
     teacher_checkpoint: Optional[str] = None
-    use_pallas: bool = False       # fused Pallas KD-loss kernel on TPU
+    # Fused Pallas KD-loss kernel on TPU (single-chip only: GSPMD cannot
+    # partition Mosaic custom calls).
+    use_pallas: bool = False
     # Precompute the frozen teacher's logits + feature taps once over the
     # training set, gathered per step by sample index — removes the teacher
     # forward from the steady-state step. Valid because the pipeline has no

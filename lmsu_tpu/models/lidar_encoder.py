@@ -115,10 +115,15 @@ class PointPillarsLiDAREncoder(nn.Module):
             valid = valid & point_valid
 
         # Pillar-relative decoration: offsets to the assigned cell centre.
+        # The centre must use the SAME mapping as points_to_bev_indices
+        # (col = trunc(x_norm * (W-1)), i.e. cell col spans x_norm in
+        # [col, col+1)/(W-1)), so its centre is x_norm = (col+0.5)/(W-1) —
+        # a /W grid would put the "centre" of edge cells inside a different
+        # mapped cell, biasing dx/dy by up to ~1.6% of range.
         col = (flat_idx % W).astype(self.dtype)
         row = (flat_idx // W).astype(self.dtype)
-        cx = x_min + (col + 0.5) * (x_max - x_min) / W
-        cy = y_min + (row + 0.5) * (y_max - y_min) / H
+        cx = x_min + (col + 0.5) * (x_max - x_min) / (W - 1)
+        cy = y_min + (row + 0.5) * (y_max - y_min) / (H - 1)
         dx = points[..., 0].astype(self.dtype) - cx
         dy = points[..., 1].astype(self.dtype) - cy
         dist = jnp.sqrt(points[..., 0] ** 2 + points[..., 1] ** 2 + 1e-8)

@@ -76,8 +76,10 @@ def _relu6(x):
 
 
 def fold_bn(gamma, beta, mean, var, eps: float = 1e-5):
-    """BN(running stats) == x * scale + bias."""
-    scale = gamma / jnp.sqrt(var + eps)
+    """BN(stats) == x * scale + bias. rsqrt to match flax's normalize
+    exactly (used for both running-stats inference folding and batch-stats
+    training folding)."""
+    scale = gamma * jax.lax.rsqrt(var + eps)
     return scale, beta - mean * scale
 
 
@@ -88,10 +90,7 @@ def _bn_stats_finalize(s, sq, m_count):
     return mean, var
 
 
-def _fold_batch(gamma, beta, mean, var, eps):
-    inv = jax.lax.rsqrt(var + eps)
-    scale = gamma * inv
-    return scale, beta - mean * scale
+_fold_batch = fold_bn
 
 
 def _hidden_chunk(ce: int) -> int:
@@ -181,6 +180,19 @@ def _check_spatial(H: int, W: int, stride: int) -> None:
             f"stages, got {H}x{W}; use the unfused path "
             f"(CameraEncoderConfig.fused_inference/fused_train=False) for "
             f"image sizes not divisible by 16.")
+
+
+def _check_channels(cblk: int, stride: int) -> None:
+    """The stride-2 column tricks (_subsample2/_dilate2) need a 128-lane-
+    aligned chunk on real TPUs; the c%128!=0 fallback splits the sublane
+    dim, which Mosaic may not lower. True for the default widths (hidden
+    192/384/768 pad to 128-multiples); narrow width_mults hit this at the
+    downsampling stages — fail loudly, interpret mode (CPU tests) is fine."""
+    if stride == 2 and cblk % 128 and not _interpret():
+        raise ValueError(
+            f"fused InvertedResidual on TPU needs a 128-multiple hidden "
+            f"width at stride-2 stages (chunk width {cblk}); use the "
+            f"unfused path for narrow width_mult configs.")
 
 
 # Mosaic's default scoped-VMEM limit is too small for these kernels:
@@ -286,6 +298,7 @@ def fused_ir_infer(x: jnp.ndarray, p: IRParams, *, stride: int = 1
 
     Cep = Ce if not has_expand else _pad_to_lanes(Ce)
     cblk = Ce if not has_expand else _hidden_chunk(Cep)
+    _check_channels(cblk, stride)
     padc = Cep - Ce
     if padc:
         p = IRParams(jnp.pad(p.w1, ((0, 0), (0, padc))),
@@ -566,6 +579,7 @@ def _ir_train_forward(x, w1, g1, be1, dwk, g2, be2, w2, g3, be3,
     w1, g1, be1, dwk, g2, be2, w2 = _pad_hidden(
         w1, g1, be1, dwk, g2, be2, w2, Ce - Ce0)
     cblk = Ce if not has_expand else _hidden_chunk(Ce)
+    _check_channels(cblk, stride)
     chunks = list(range(0, Ce, cblk))
     M1, M2 = B * H * W, B * Ho * Wo
     dwd = dwk.astype(f32)

@@ -76,16 +76,21 @@ class StallMeter:
     def __iter__(self):
         start = time.perf_counter()
         it = iter(self.iterable)
-        while True:
-            t0 = time.perf_counter()
-            try:
-                item = next(it)
-            except StopIteration:
-                break
-            self.wait_s += time.perf_counter() - t0
-            self.batches += 1
-            yield item
-        self.total_s = time.perf_counter() - start
+        try:
+            while True:
+                t0 = time.perf_counter()
+                try:
+                    item = next(it)
+                except StopIteration:
+                    break
+                self.wait_s += time.perf_counter() - t0
+                self.batches += 1
+                yield item
+        finally:
+            # Also on early exit (step exception, consumer break): callers
+            # read stall_frac in THEIR finally blocks, and a total of 0
+            # would report "no stall" for a partial epoch.
+            self.total_s = time.perf_counter() - start
 
 
 @contextlib.contextmanager
