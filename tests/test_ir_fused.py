@@ -75,6 +75,32 @@ class TestFusedInference:
                                        np.asarray(got[k]), atol=1e-5)
 
 
+class TestGuards:
+    def test_narrow_channels_stride2_raises_on_tpu(self, rng, monkeypatch):
+        """On real TPUs (non-interpret), stride-2 fused blocks require a
+        128-multiple chunk width — the narrow-channel sublane-split
+        fallback is interpret-only and would die inside Mosaic."""
+        import lmsu_tpu.ops.ir_fused as irf
+        monkeypatch.setattr(irf, "_interpret", lambda: False)
+        x, mod, v = _block(rng, 8, 16, 2, 6, 16)  # hidden 48: not 128-mult
+        params, has_expand = _unpack(v)
+        with pytest.raises(ValueError, match="128-multiple hidden width"):
+            irf.fused_ir_train(x, *params, 2, has_expand, 1e-5)
+        with pytest.raises(ValueError, match="128-multiple hidden width"):
+            irf.fused_ir_infer(
+                x, irf.params_from_variables(
+                    {"params": v["params"],
+                     "batch_stats": v["batch_stats"]}), stride=2)
+
+    def test_odd_spatial_stride2_raises(self, rng):
+        import lmsu_tpu.ops.ir_fused as irf
+        x, mod, v = _block(rng, 8, 16, 2, 6, 16)
+        x_odd = x[:, :15, :15]
+        params, has_expand = _unpack(v)
+        with pytest.raises(ValueError, match="even spatial dims"):
+            irf.fused_ir_train(x_odd, *params, 2, has_expand, 1e-5)
+
+
 class TestFusedTrain:
     @pytest.mark.parametrize("variant", VARIANTS)
     def test_forward_and_stats_match_flax(self, rng, variant):

@@ -117,6 +117,28 @@ class TestLidarEncoder:
         far = jnp.full((1, 50, 4), 500.0)
         assert float(jnp.abs(enc.apply(v, far)).max()) == 0.0
 
+    def test_pillar_center_consistent_with_index_mapping(self, rng):
+        """The PFN's pillar-centre decoration must be self-consistent with
+        the scatter index mapping: the decorated centre of a point's cell
+        must itself map to the SAME cell (the old /W-grid centres drifted
+        into neighbouring mapped cells near the grid edge)."""
+        from lmsu_tpu.ops.scatter import points_to_bev_indices
+        H = W = 64
+        pc = (-50.0, -50.0, -5.0, 50.0, 50.0, 3.0)
+        pts = jnp.asarray(rng.uniform(-49.9, 49.9, (1, 2000, 2)),
+                          jnp.float32)
+        idx, valid = points_to_bev_indices(pts, (H, W), pc)
+        col = (idx % W).astype(jnp.float32)
+        row = (idx // W).astype(jnp.float32)
+        # Same formula as PointPillarsEncoder's decoration.
+        cx = pc[0] + (col + 0.5) * (pc[3] - pc[0]) / (W - 1)
+        cy = pc[1] + (row + 0.5) * (pc[4] - pc[1]) / (H - 1)
+        centers = jnp.stack([cx, cy], axis=-1)
+        idx2, valid2 = points_to_bev_indices(centers, (H, W), pc)
+        assert bool(valid2[valid].all())
+        np.testing.assert_array_equal(np.asarray(idx[valid]),
+                                      np.asarray(idx2[valid]))
+
     def test_bad_encoder_type_raises(self):
         enc = LiDAREncoder(LidarEncoderConfig(encoder_type="bogus"))
         with pytest.raises(ValueError, match="Unknown encoder type"):
