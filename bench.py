@@ -174,9 +174,12 @@ def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
 
     t_cached = None
     if cached_teacher:
-        t_logits, t_feats = teacher.apply(t_vars, images, points,
-                                          train=False,
+        # jit: eager apply would dispatch hundreds of primitives one by one
+        # through the relay (~33 ms RTT each) for this one-time precompute.
+        t_logits, t_feats = jax.jit(
+            lambda v, i, p: teacher.apply(v, i, p, train=False,
                                           return_intermediates=True)
+        )(t_vars, images, points)
         dt = compute_dtype
         t_cached = (t_logits.astype(dt),
                     {k: v.astype(dt) for k, v in t_feats.items()})
@@ -203,31 +206,21 @@ def measure_batch(batch: int, compute_dtype, want_flops: bool = False,
     (result dict, (student, s_vars)) — or (None, None) on OOM.
 
     FLOPs come from the cost analysis of the already-compiled scan
-    executable — the axon compilation cache does not cover TPU
-    executables, so compiling a second single-step program just for its
-    cost analysis would double bench wall time (35-350 s per compile).
-    XLA counts the while body ONCE regardless of trip count (verified:
-    scan-50 raw count 679 GF vs 691 GF from a dedicated single-step
-    compile), so the raw number IS the per-step estimate — do not divide
-    by n_iters."""
+    executable (lmsu_tpu.utils.profiling.aot_compile_with_cost — shared
+    with scripts/profile_roofline.py; see its docstring for the
+    body-counted-once rule) — the axon compilation cache does not cover
+    TPU executables, so compiling a second single-step program just for
+    its cost analysis would double bench wall time (35-350 s/compile)."""
     import jax
+
+    from lmsu_tpu.utils.profiling import aot_compile_with_cost
     try:
         run, state, n_iters, model = build_kd_bench(
             batch, compute_dtype, cached_teacher=cached_teacher, tiny=tiny)
         t0 = time.perf_counter()
-        compiled = run.lower(state).compile()
-        flops = 0.0
-        if want_flops:
-            try:
-                analysis = compiled.cost_analysis()
-                if isinstance(analysis, (list, tuple)):
-                    analysis = analysis[0]
-                flops = float(analysis.get("flops", 0.0))
-            except Exception as e:  # cost model unavailable on some backends
-                print(f"cost_analysis unavailable: {e}", file=sys.stderr)
-        # Call the explicitly-compiled executable (run(...) would re-trace
-        # and recompile — the jit dispatch cache does not reuse
-        # lower().compile()).
+        compiled, flops, _ = aot_compile_with_cost(run, state)
+        if not want_flops:
+            flops = 0.0
         state, cm, losses = compiled(state)
         jax.block_until_ready(losses)
         compile_s = time.perf_counter() - t0
@@ -262,9 +255,14 @@ def measure_eval_latency(student, s_vars, on_tpu: bool, tiny: bool = False):
     eval_fn = jax.jit(lambda v, i, p: student.apply(v, i, p, train=False))
     jax.block_until_ready(eval_fn(s_vars, i1, p1))
     lats = []
-    for _ in range(20 if on_tpu else 3):
+    for k in range(20 if on_tpu else 3):
+        # Perturb the input per iteration: this host's TPU relay memoizes
+        # byte-identical dispatches (CLAUDE.md measurement rules), so
+        # repeating eval_fn(s_vars, i1, p1) would time the relay cache,
+        # not the device.
+        ik = i1 + np.float32((k + 1) * 1e-6)
         t0 = time.perf_counter()
-        jax.block_until_ready(eval_fn(s_vars, i1, p1))
+        jax.block_until_ready(eval_fn(s_vars, ik, p1))
         lats.append(time.perf_counter() - t0)
     p50_link = float(np.median(lats) * 1e3)
 
@@ -308,11 +306,16 @@ def main() -> None:
     print(f"backend={jax.default_backend()} devices={jax.devices()} "
           f"dtype={compute_dtype.__name__}", file=sys.stderr)
 
+    if args.sweep and args.batch is not None:
+        ap.error("--sweep and --batch are mutually exclusive")
     if args.sweep and on_tpu:
         batches = [32, 64, 128, 256]
     elif args.batch is not None:
         batches = [args.batch]
     else:
+        if args.sweep:
+            print("--sweep needs a TPU backend; falling back to one small "
+                  "CPU batch", file=sys.stderr)
         batches = [HEADLINE_BATCH if on_tpu else 4]
 
     results = []

@@ -54,6 +54,33 @@ class StepTimer:
         return out
 
 
+def aot_compile_with_cost(jitted, *args):
+    """lower().compile() + XLA cost analysis, the shared protocol of
+    bench.py and scripts/profile_roofline.py (keep them in lockstep).
+
+    Returns (compiled, flops, bytes_accessed). Rules (CLAUDE.md):
+      * Execute through the RETURNED executable — calling the jitted fn
+        would re-trace and recompile (the jit dispatch cache does not
+        reuse lower().compile()).
+      * XLA counts a while body ONCE regardless of static trip count
+        (verified: KD-step scan-50 raw 679 GF vs 691 GF single-step), so
+        for a scan executable the raw numbers ARE the per-step estimates
+        — never divide by the iteration count.
+    """
+    import sys
+    compiled = jitted.lower(*args).compile()
+    flops = bytes_acc = 0.0
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        bytes_acc = float(ca.get("bytes accessed", 0.0))
+    except Exception as e:  # cost model unavailable on some backends
+        print(f"cost_analysis unavailable: {e}", file=sys.stderr)
+    return compiled, flops, bytes_acc
+
+
 class StallMeter:
     """Wraps a batch iterable, separating time spent WAITING on the host
     input pipeline from the rest of the loop (device step + bookkeeping).

@@ -30,7 +30,12 @@ int64_t rasterize_bev_first_write(
   int64_t in_range = 0;
   for (int64_t i = 0; i < n; ++i) {
     const float xi = x[i], yi = y[i];
-    if (xi < x_min || xi > x_max || yi < y_min || yi > y_max) continue;
+    // Positive form so NaN coordinates (sensor dropout) fail the test and
+    // are dropped — matching the numpy fallback (rasterize.py uses
+    // x >= x_min). The inverted form would pass NaN through and the
+    // float->int64 cast of NaN is undefined behavior.
+    if (!(xi >= x_min && xi <= x_max && yi >= y_min && yi <= y_max))
+      continue;
     ++in_range;
     int64_t col = static_cast<int64_t>((xi - x_min) * sx);
     int64_t row = static_cast<int64_t>((yi - y_min) * sy);

@@ -20,11 +20,19 @@ from lmsu_tpu.data import create_datasets
 
 def class_histogram(dataset, num_classes: int, max_samples: int = None):
     counts = np.zeros(num_classes, np.int64)
+    overflow = 0
     n = len(dataset) if max_samples is None else min(len(dataset), max_samples)
     for i in range(n):
         seg = dataset[i]["segmentation"]
-        counts += np.bincount(seg[seg >= 0].ravel(), minlength=num_classes)[
-            :num_classes]
+        full = np.bincount(seg[seg >= 0].ravel(), minlength=num_classes)
+        counts += full[:num_classes]
+        overflow += int(full[num_classes:].sum())
+    if overflow:
+        # Never truncate silently: an audit over an incomplete histogram
+        # would report skewed frequencies and weights.
+        print(f"WARNING: {overflow:,} pixels carry labels >= "
+              f"{num_classes} and are excluded — rerun with a larger "
+              f"--num-classes for a complete audit")
     return counts, n
 
 

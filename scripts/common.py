@@ -76,8 +76,7 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
 
 
 def build_loaders(cfg: ExperimentConfig, verbose: bool = True):
-    train_ds, val_ds = create_datasets(cfg.data, verbose=verbose) \
-        if cfg.data.dataset == "pandaset" else create_datasets(cfg.data)
+    train_ds, val_ds = create_datasets(cfg.data, verbose=verbose)
     train_loader = make_loader(train_ds, cfg.data.batch_size,
                                shuffle=cfg.data.shuffle_train,
                                seed=cfg.train.seed,

@@ -31,6 +31,9 @@ def main(argv=None):
 
     histories = {}
     labels = args.labels or [os.path.basename(r.rstrip("/")) for r in args.runs]
+    if len(labels) != len(args.runs):
+        p.error(f"--labels has {len(labels)} entries for {len(args.runs)} "
+                f"runs (zip would silently drop runs)")
     for run, label in zip(args.runs, labels):
         path = os.path.join(run, "training_history.json")
         if not os.path.exists(path):

@@ -68,25 +68,11 @@ def measure(name, fn, init_carry, n_iters, results):
     # Cost analysis comes from the SCAN executable — remote TPU compiles
     # here cost 35-350 s each and are not cached across processes, so
     # compiling a second single-step executable per component would double
-    # the wall cost. XLA counts the while body ONCE regardless of the
-    # static trip count (verified: the KD-step scan's raw count is 679 GF
-    # vs 691 GF from a dedicated single-step compile), so the raw numbers
-    # ARE the per-step estimates — do not divide by n_iters.
-    flops = bytes_acc = 0.0
+    # the wall cost. aot_compile_with_cost (shared with bench.py) applies
+    # the body-counted-once rule: raw numbers ARE per-step estimates.
+    from lmsu_tpu.utils.profiling import aot_compile_with_cost
     t0 = time.perf_counter()
-    lowered = run.lower(init_carry)
-    compiled = lowered.compile()
-    try:
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
-        bytes_acc = float(ca.get("bytes accessed", 0.0))
-    except Exception as e:
-        print(f"{name}: cost_analysis failed: {e}", file=sys.stderr)
-
-    # Call the explicitly-compiled executable (run(...) would re-trace and
-    # recompile — the jit dispatch cache does not reuse lower().compile()).
+    compiled, flops, bytes_acc = aot_compile_with_cost(run, init_carry)
     carry = compiled(init_carry)
     jax.block_until_ready(carry)
     compile_s = time.perf_counter() - t0

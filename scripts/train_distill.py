@@ -60,7 +60,9 @@ def main(argv=None) -> float:
             model=tcfg_model,
             train=dataclasses.replace(
                 cfg.train, kd=KDConfig(enabled=False),
-                num_epochs=args.teacher_epochs or cfg.train.num_epochs,
+                num_epochs=(args.teacher_epochs
+                            if args.teacher_epochs is not None
+                            else cfg.train.num_epochs),
                 save_dir=cfg.train.save_dir + "_teacher"))
         print("=== Phase 1: training teacher ===")
         tl, vl = build_loaders(tcfg)

@@ -31,6 +31,13 @@ def main(argv=None) -> float:
     cfg = preset_pandaset_weighted()
     cfg = apply_overrides(cfg, args)
     if args.num_classes != cfg.model.num_classes:
+        if args.num_classes != len(cfg.train.class_weights):
+            p.error(
+                f"--num-classes {args.num_classes} does not match the "
+                f"preset's {len(cfg.train.class_weights)} class weights "
+                f"{cfg.train.class_weights}; the loss would silently "
+                f"mis-weight classes (JAX clips out-of-range gathers). "
+                f"Adjust TrainConfig.class_weights alongside it.")
         cfg = cfg.replace(model=cfg.model.replace(num_classes=args.num_classes))
 
     train_loader, val_loader = build_loaders(cfg)

@@ -30,6 +30,23 @@ class TestNativeRasterize:
         b = rasterize_bev_native(x, y, labels, (8, 8))
         np.testing.assert_array_equal(a, b)
 
+    def test_nan_coordinates_dropped_like_numpy(self, rng):
+        """NaN x/y (sensor dropout) must be dropped by BOTH paths — the
+        inverted C++ range test used to pass NaN through, and casting NaN
+        to int64 is undefined behavior (landed at cell (0,0) in practice)."""
+        x = rng.uniform(-50, 50, 100).astype(np.float32)
+        y = rng.uniform(-50, 50, 100).astype(np.float32)
+        x[::7] = np.nan
+        y[3::11] = np.nan
+        labels = np.ones(100, np.int64)
+        a = rasterize_bev(x, y, labels, (16, 16))
+        b = rasterize_bev_native(x, y, labels, (16, 16))
+        np.testing.assert_array_equal(a, b)
+        all_nan = np.full(4, np.nan, np.float32)
+        out = rasterize_bev_native(all_nan, all_nan,
+                                   np.ones(4, np.int64), (8, 8))
+        assert out.sum() == 0
+
     def test_empty(self):
         out = rasterize_bev_native(np.array([], np.float32),
                                    np.array([], np.float32),
