@@ -157,6 +157,10 @@ class DataConfig:
     # Synthetic dataset (hermetic fixture; reference §2.26 deleted component).
     synthetic_num_train: int = 800
     synthetic_num_val: int = 200
+    # "easy" = the original saturating smoke fixture; "hard" = the
+    # discriminative benchmark (thin roads, vehicles, modality-ambiguous
+    # distractor lots, sensor degradations — see data/synthetic.py).
+    synthetic_difficulty: str = "easy"
     # Reference quirk (pandaset_dataset.py:124-126): zero-padded points pass the
     # validity mask and land at the grid centre. Kept for parity, off by default
     # here because padded points are tagged invalid in the TPU pipeline.

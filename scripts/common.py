@@ -26,6 +26,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-train", type=int, default=None,
                    help="synthetic dataset: #train samples")
     p.add_argument("--num-val", type=int, default=None)
+    p.add_argument("--difficulty", default=None, choices=["easy", "hard"],
+                   help="synthetic dataset difficulty: 'easy' saturates "
+                   "(plumbing checks); 'hard' is the discriminative "
+                   "benchmark (data/synthetic.py)")
     p.add_argument("--resume", action="store_true",
                    help="resume from <save_dir>/latest.ckpt if present")
     p.add_argument("--scan-steps", type=int, default=None,
@@ -54,6 +58,8 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         data_kw["synthetic_num_train"] = args.num_train
     if args.num_val is not None:
         data_kw["synthetic_num_val"] = args.num_val
+    if getattr(args, "difficulty", None) is not None:
+        data_kw["synthetic_difficulty"] = args.difficulty
     if getattr(args, "num_workers", None) is not None:
         data_kw["num_workers"] = args.num_workers
     if args.epochs is not None:
