@@ -180,6 +180,13 @@ class KDConfig:
     temperature: float = 2.0
     alpha_kl: float = 0.5          # weight on the logit-KL term
     beta_feature: float = 0.5      # weight on the feature-matching term
+    # Default taps deliberately omit pre_fusion (the contract's 4th tap):
+    # it is redundant with the taps already matched — for concat fusion
+    # pre_fusion is literally concat(camera_feat, lidar_feat), and for
+    # minimal/weighted it aliases the camera-path tensor (models/fusion.py)
+    # — so matching it would double-count those features (and double their
+    # HBM traffic in the cached-teacher path) without adding signal. Opt in
+    # per-run via feature_taps if an experiment wants it.
     feature_taps: Tuple[str, ...] = ("camera_feat", "lidar_feat", "post_fusion")
     teacher_width_mult: float = 2.0
     teacher_checkpoint: Optional[str] = None
@@ -220,12 +227,13 @@ class TrainConfig:
     # are process-global JAX flags — once a Trainer enables them they stay
     # on for the rest of the process.
     debug_nans: bool = False
-    # Chain this many train steps in one lax.scan dispatch (1 = off). Stacks
-    # K host batches into [K, B, ...] arrays; amortizes per-step dispatch
-    # latency (the whole inner loop runs on-chip). Same math as per-batch
-    # stepping, but not bitwise identical: XLA fusion order changes fp32
-    # rounding, which Adam can amplify to ~lr-sized parameter differences
-    # on near-zero gradients (see tests/test_trainer.py).
+    # Chain this many steps in one lax.scan dispatch (1 = off), for BOTH
+    # training and validation epochs. Stacks K host batches into [K, B, ...]
+    # arrays; amortizes per-step dispatch latency (the whole inner loop runs
+    # on-chip). Same math as per-batch stepping, but not bitwise identical:
+    # XLA fusion order changes fp32 rounding, which Adam can amplify to
+    # ~lr-sized parameter differences on near-zero gradients (see
+    # tests/test_trainer.py).
     scan_steps: int = 1
     # Run each training epoch as ONE on-chip lax.scan over an HBM-resident
     # copy of the train set (shuffled by a per-epoch permutation): zero host

@@ -162,6 +162,7 @@ class DistillationTrainer(Trainer):
                                      donate_argnums=0)
         self.eval_step = jax.jit(eval_step, in_shardings=(rep, dsh),
                                  out_shardings=(rep, rep))
+        self.eval_scan = self._make_eval_scan(eval_step)
         self.last_loss_parts: Dict[str, float] = {}
 
         # -- frozen-teacher output cache (KDConfig.cache_teacher) ----------
@@ -397,6 +398,8 @@ class DistillationTrainer(Trainer):
         K = self.config.train.scan_steps
         if train and K > 1:
             return self._run_epoch_scanned_kd(loader, K)
+        if not train and K > 1:
+            return self._run_epoch_eval_scanned(loader, K)
         total_loss, n = 0.0, 0
         cm_total = np.zeros((self.config.train.metrics_num_classes,) * 2,
                             np.int64)

@@ -44,6 +44,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="parallel per-sample decode threads in the input "
                    "pipeline (reference DataLoader num_workers analog); "
                    "default per DataConfig")
+    p.add_argument("--lidar-encoder", default=None,
+                   choices=["spatial", "pointpillars"],
+                   help="LiDAR encoder implementation (reference "
+                   "lidar_encoder.py:193 encoder_type)")
 
 
 def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
@@ -76,7 +80,12 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         train_kw["onchip_epoch"] = True
     if getattr(args, "progress", False):
         train_kw["progress"] = True
+    model = cfg.model
+    if getattr(args, "lidar_encoder", None) is not None:
+        model = model.replace(lidar=dataclasses.replace(
+            model.lidar, encoder_type=args.lidar_encoder))
     return cfg.replace(
+        model=model,
         data=dataclasses.replace(cfg.data, **data_kw),
         train=dataclasses.replace(cfg.train, **train_kw))
 

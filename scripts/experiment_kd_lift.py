@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""KD-lift experiment: student-alone vs student+KD vs teacher, seeded.
+
+The framework's north star is knowledge distillation, so the benchmark must
+show a measurable KD accuracy lift (VERDICT r2 next #1). The easy synthetic
+fixture saturates for every model; this experiment runs on the hard variant
+(data/synthetic.py, difficulty='hard') in a deliberately low-data regime so
+the wide teacher generalizes better than the student and distillation has
+something to transfer.
+
+Per seed:
+  1. teacher  — the 2x-wide model, trained on labels alone;
+  2. student  — the standard model, trained on labels alone;
+  3. student+KD — the standard model distilled from THIS seed's teacher
+     (CE + logit KL + feature matching, training/distill.py).
+
+All three arms share the seed's data ordering and init streams, and each
+arm's hyperparameters are identical across seeds, so the across-seed spread
+IS the run-to-run variance against which the KD gap must be judged.
+
+Writes kd_comparison_results.json:
+  {"per_seed": {...}, "mean": {...}, "gap": student_kd - student,
+   "seed_spread": max cross-seed range of any arm, ...}
+
+Run dirs: checkpoints/kd_lift_<arm>_s<seed>/ (training_history.json each).
+"""
+
+import argparse
+import dataclasses
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from scripts.common import add_common_args, apply_overrides, build_loaders
+
+from lmsu_tpu.config import (DataConfig, ExperimentConfig, KDConfig,
+                             ModelConfig, TrainConfig, teacher_config)
+from lmsu_tpu.training import DistillationTrainer, Trainer
+
+
+def _base_config(args) -> ExperimentConfig:
+    cfg = ExperimentConfig(
+        model=ModelConfig(num_classes=2, fusion_type="weighted",
+                          fusion_out_channels=128),
+        data=DataConfig(dataset="synthetic", synthetic_difficulty="hard",
+                        # Low-data regime: the generalization gap KD closes.
+                        synthetic_num_train=400,
+                        # Big val set: tight mIoU estimates (val samples are
+                        # procedurally generated — they cost nothing).
+                        synthetic_num_val=512,
+                        batch_size=32),
+        train=TrainConfig(num_epochs=40, class_weights=(0.4, 3.5),
+                          onchip_epoch=True,
+                          save_dir="checkpoints/kd_lift"))
+    return apply_overrides(cfg, args)
+
+
+def _train(cfg: ExperimentConfig, trainer_cls, **trainer_kw) -> tuple:
+    train_loader, val_loader = build_loaders(cfg)
+    trainer = trainer_cls(cfg, train_loader, val_loader, **trainer_kw)
+    best = trainer.train()
+    return best, trainer
+
+
+def run_seed(seed: int, args) -> dict:
+    base = _base_config(args)
+    out = {}
+
+    # -- 1. teacher: 2x-wide, labels only ---------------------------------
+    tmodel = teacher_config(base.model, args.teacher_width)
+    tcfg = base.replace(
+        model=tmodel,
+        train=dataclasses.replace(
+            base.train, seed=seed,
+            num_epochs=args.teacher_epochs or base.train.num_epochs,
+            save_dir=f"checkpoints/kd_lift_teacher_s{seed}"))
+    print(f"\n=== seed {seed}: teacher (width x{args.teacher_width}) ===",
+          flush=True)
+    t_best, t_trainer = _train(tcfg, Trainer)
+    out["teacher"] = t_best
+
+    import jax
+    t_state = jax.device_get(t_trainer.state)
+    teacher_vars = {"params": t_state.params,
+                    "batch_stats": t_state.batch_stats}
+    del t_trainer
+
+    # -- 2. student alone --------------------------------------------------
+    scfg = base.replace(train=dataclasses.replace(
+        base.train, seed=seed,
+        save_dir=f"checkpoints/kd_lift_student_s{seed}"))
+    print(f"\n=== seed {seed}: student alone ===", flush=True)
+    s_best, s_trainer = _train(scfg, Trainer)
+    out["student"] = s_best
+    del s_trainer
+
+    # -- 3. student + KD from this seed's teacher --------------------------
+    kd = KDConfig(enabled=True, temperature=args.temperature,
+                  alpha_kl=args.alpha_kl, beta_feature=args.beta_feature,
+                  teacher_width_mult=args.teacher_width)
+    kcfg = base.replace(train=dataclasses.replace(
+        base.train, seed=seed, kd=kd,
+        save_dir=f"checkpoints/kd_lift_student_kd_s{seed}"))
+    print(f"\n=== seed {seed}: student + KD ===", flush=True)
+    k_best, k_trainer = _train(kcfg, DistillationTrainer,
+                               teacher_variables=teacher_vars)
+    out["student_kd"] = k_best
+    del k_trainer
+
+    print(f"\nseed {seed}: teacher {out['teacher']:.4f}  "
+          f"student {out['student']:.4f}  "
+          f"student+KD {out['student_kd']:.4f}", flush=True)
+    return out
+
+
+def main(argv=None) -> dict:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
+    p.add_argument("--teacher-width", type=float, default=2.0)
+    p.add_argument("--teacher-epochs", type=int, default=None)
+    p.add_argument("--temperature", type=float, default=2.0)
+    p.add_argument("--alpha-kl", type=float, default=0.5)
+    p.add_argument("--beta-feature", type=float, default=0.5)
+    p.add_argument("--output", default="kd_comparison_results.json")
+    args = p.parse_args(argv)
+
+    per_seed = {}
+    for seed in args.seeds:
+        per_seed[str(seed)] = run_seed(seed, args)
+
+    arms = ("teacher", "student", "student_kd")
+    mean = {a: sum(r[a] for r in per_seed.values()) / len(per_seed)
+            for a in arms}
+    spread = {a: max(r[a] for r in per_seed.values())
+              - min(r[a] for r in per_seed.values()) for a in arms}
+    results = {
+        "benchmark": "synthetic_hard",
+        "config": {"num_train": _base_config(args).data.synthetic_num_train,
+                   "num_val": _base_config(args).data.synthetic_num_val,
+                   "epochs": _base_config(args).train.num_epochs,
+                   "batch_size": _base_config(args).data.batch_size,
+                   "teacher_width": args.teacher_width,
+                   "temperature": args.temperature,
+                   "alpha_kl": args.alpha_kl,
+                   "beta_feature": args.beta_feature,
+                   "seeds": args.seeds},
+        "per_seed": per_seed,
+        "mean_miou": {a: round(mean[a], 4) for a in arms},
+        "seed_spread": {a: round(spread[a], 4) for a in arms},
+        "kd_gap": round(mean["student_kd"] - mean["student"], 4),
+        "kd_gap_exceeds_spread": bool(
+            mean["student_kd"] - mean["student"]
+            > max(spread["student"], spread["student_kd"])),
+    }
+
+    print("\n=== KD lift (hard synthetic benchmark) ===")
+    print(f"{'arm':>12s} {'mean mIoU':>10s} {'spread':>8s}   per-seed")
+    for a in arms:
+        vals = " ".join(f"{per_seed[s][a]:.4f}" for s in per_seed)
+        print(f"{a:>12s} {mean[a]:10.4f} {spread[a]:8.4f}   {vals}")
+    print(f"KD gap (student_kd - student): {results['kd_gap']:+.4f} "
+          f"({'EXCEEDS' if results['kd_gap_exceeds_spread'] else 'within'} "
+          f"seed spread)")
+
+    with open(args.output, "w") as f:
+        json.dump(results, f, indent=2)
+    print(f"Wrote {args.output}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

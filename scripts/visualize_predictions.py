@@ -67,7 +67,13 @@ def main(argv=None):
         variables = ckptlib.load_model_variables(args.checkpoint)
         print(f"Loaded {args.checkpoint}")
     else:
-        print(f"WARNING: {args.checkpoint} not found — using random weights")
+        # Checkpoint binaries are not committed (ADVICE r1); the default
+        # path only exists after a local training run.
+        sys.exit(f"ERROR: checkpoint {args.checkpoint!r} not found. Train "
+                 f"one first — e.g.\n  python scripts/train_synthetic.py "
+                 f"--epochs 5\nthen pass --checkpoint "
+                 f"checkpoints/synthetic_concat/best.ckpt (or point "
+                 f"--checkpoint at any run's best.ckpt/latest.ckpt).")
 
     _, val_ds = create_datasets(dcfg)
     loader = make_loader(val_ds, args.batch_size, shuffle=False)

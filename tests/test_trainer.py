@@ -131,6 +131,26 @@ class TestTrainerE2E:
                 a, b, atol=lr * steps * margin),
             results["plain"][2], results["scan"][2])
 
+    def test_scanned_eval_matches_per_batch(self, tmp_path):
+        """scan_steps>1 also chains VALIDATION steps (VERDICT r2 weak #5);
+        eval has no optimizer state, so losses and mIoU must match the
+        per-batch path (same eval_step, state read-only). 24 val samples /
+        batch 8 = 3 batches, scan_steps=2 -> one scanned chunk + a
+        per-batch tail, exercising both paths."""
+        import dataclasses
+        cfg = _tiny_config(tmp_path, num_epochs=1)
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, synthetic_num_val=24))
+        trainer = _make_trainer(cfg)
+        plain = trainer.validate()
+        cfg_s = cfg.replace(train=dataclasses.replace(
+            cfg.train, scan_steps=2, save_dir=str(tmp_path / "run_escan")))
+        trainer_s = _make_trainer(cfg_s)
+        trainer_s.state = trainer.state  # same params
+        scanned = trainer_s.validate()
+        assert plain[0] == pytest.approx(scanned[0], rel=1e-5)
+        assert plain[1]["miou"] == pytest.approx(scanned[1]["miou"], abs=1e-7)
+
     def test_scanned_epoch_handles_tail(self, tmp_path):
         """Epoch length not divisible by scan_steps: tail runs per-batch."""
         import dataclasses
