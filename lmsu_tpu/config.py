@@ -77,10 +77,10 @@ class LidarEncoderConfig:
     # isolated, slower in the full KD step; docs/DESIGN.md), "sorted"
     # (sort + segmented prefix-max + gather — no scatter op at all; see
     # ops/scatter.py::bev_scatter_max_sorted), or "pallas" (VMEM-resident
-    # kernel, ops/voxelize_pallas.py — single-chip only: GSPMD cannot
-    # partition Mosaic custom calls, so don't combine with a >1-device
-    # sharded step). Pick per measurement; equivalence of all four is
-    # pinned by tests.
+    # kernel, ops/voxelize_pallas.py — mesh-compatible: a
+    # custom_partitioning rule shards the batch dim, so it runs per-shard
+    # under a >1-device data-sharded step). Pick per measurement;
+    # equivalence of all four is pinned by tests.
     scatter_impl: str = "xla"
     # Deprecated alias: use_pallas=True == scatter_impl="pallas".
     use_pallas: bool = False
@@ -190,8 +190,9 @@ class KDConfig:
     feature_taps: Tuple[str, ...] = ("camera_feat", "lidar_feat", "post_fusion")
     teacher_width_mult: float = 2.0
     teacher_checkpoint: Optional[str] = None
-    # Fused Pallas KD-loss kernel on TPU (single-chip only: GSPMD cannot
-    # partition Mosaic custom calls).
+    # Fused Pallas KD-loss kernel on TPU. Mesh-compatible: the feature-MSE
+    # kernel computes per-sample partials under a custom_partitioning
+    # batch rule; the cross-sample reduction is XLA's (ops/kd_loss_pallas).
     use_pallas: bool = False
     # Precompute the frozen teacher's logits + feature taps once over the
     # training set, gathered per step by sample index — removes the teacher
