@@ -24,26 +24,52 @@ from lmsu_tpu.models import create_model, init_model
 
 
 class Predictor:
-    def __init__(self, config: ModelConfig, variables: Dict[str, Any]):
+    def __init__(self, config: ModelConfig, variables: Dict[str, Any],
+                 freeze_weights: bool = False):
+        """freeze_weights=True closes the variables into the jitted
+        programs as compile-time CONSTANTS instead of runtime arguments —
+        the standard frozen-serving trade. XLA can then constant-fold the
+        eval-mode BatchNorms (scale/bias from running stats) into the
+        adjacent convolution weights (the fold of ops/ir_fused.py::fold_bn,
+        done by the compiler), eliminating the BN ops from the executable.
+        Measured on v5e (docs/DESIGN.md "Inference BN folding"): no
+        significant latency change — eval-mode BN+activation already fuse
+        into one elementwise pass whose bytes the fold cannot remove, and
+        the eval forward's long pole is the serial-row scatter. Kept as a
+        serving option (weights pinned at compile time, one fewer transfer
+        per call); default off.
+        """
         self.config = config
         self.model = create_model(config)
         self.variables = jax.device_put(variables)
-        self._forward = jax.jit(
-            lambda v, i, p, pv: self.model.apply(v, i, p, train=False,
-                                                 point_valid=pv))
-        self._predict = jax.jit(
-            lambda v, i, p, pv: jnp.argmax(
-                self.model.apply(v, i, p, train=False, point_valid=pv),
-                axis=-1))
+        if freeze_weights:
+            const_vars = self.variables
+            self._forward = jax.jit(
+                lambda v, i, p, pv: self.model.apply(
+                    const_vars, i, p, train=False, point_valid=pv))
+            self._predict = jax.jit(
+                lambda v, i, p, pv: jnp.argmax(
+                    self.model.apply(const_vars, i, p, train=False,
+                                     point_valid=pv), axis=-1))
+        else:
+            self._forward = jax.jit(
+                lambda v, i, p, pv: self.model.apply(v, i, p, train=False,
+                                                     point_valid=pv))
+            self._predict = jax.jit(
+                lambda v, i, p, pv: jnp.argmax(
+                    self.model.apply(v, i, p, train=False, point_valid=pv),
+                    axis=-1))
 
     @classmethod
     def from_checkpoint(cls, path: str, config: ModelConfig,
-                        bf16: bool = False) -> "Predictor":
+                        bf16: bool = False,
+                        freeze_weights: bool = False) -> "Predictor":
         """Load a trainer checkpoint (plain or KD student layout)."""
         from lmsu_tpu.training.checkpoint import load_model_variables
         if bf16:
             config = dataclasses.replace(config, compute_dtype=jnp.bfloat16)
-        return cls(config, load_model_variables(path))
+        return cls(config, load_model_variables(path),
+                   freeze_weights=freeze_weights)
 
     @classmethod
     def from_torch_checkpoint(cls, path: str, config: ModelConfig

@@ -67,6 +67,11 @@ def main() -> None:
     ap.add_argument("--epochs", type=int, default=2)
     ap.add_argument("--root", default=None,
                     help="reuse a fabricated tree instead of building one")
+    ap.add_argument("--decode-only", action="store_true",
+                    help="measure pure host decode throughput (no model, "
+                    "no device): iterate the Batcher and time it — the "
+                    "number to compare against the device step time when "
+                    "sizing host cores")
     args = ap.parse_args()
 
     import jax
@@ -85,6 +90,28 @@ def main() -> None:
         print(f"fabricated {args.frames} frames ({args.points} pts) "
               f"under {root} in {time.perf_counter() - t0:.1f}s",
               file=sys.stderr)
+
+    if args.decode_only:
+        dcfg = DataConfig(dataset="pandaset", root=root,
+                          batch_size=args.batch_size,
+                          num_workers=args.num_workers)
+        train_ds, _ = create_pandaset_datasets(dcfg)
+        loader = make_loader(train_ds, args.batch_size, shuffle=True,
+                             decode_workers=args.num_workers)
+        if len(train_ds) == 0:
+            sys.exit("train split is empty — the scene split needs >=2 "
+                     "scenes (use --frames >= 32)")
+        for epoch in range(args.epochs):
+            loader.set_epoch(epoch)
+            t0, n = time.perf_counter(), 0
+            for batch in loader:
+                n += int(batch["sample_mask"].sum())
+            dt = time.perf_counter() - t0
+            print(f"epoch {epoch}: decode-only {n / dt:.1f} frames/s "
+                  f"({dt / n * 1e3:.1f} ms/frame, workers="
+                  f"{args.num_workers})", file=sys.stderr)
+        print(f"done; scenes left at {root}", file=sys.stderr)
+        return
 
     on_tpu = jax.default_backend() not in ("cpu",)
     cfg = ExperimentConfig(

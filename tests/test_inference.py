@@ -37,6 +37,26 @@ class TestPredictor:
         np.testing.assert_array_equal(
             mask, np.asarray(jnp.argmax(logits[0], -1)))
 
+    def test_freeze_weights_matches_standard(self, tiny_cfg, rng):
+        """freeze_weights=True (variables as compile-time constants, so
+        XLA can fold eval-mode BN into conv weights) must be numerically
+        equivalent to the standard runtime-argument path."""
+        model = create_model(tiny_cfg)
+        variables = init_model(model, jax.random.PRNGKey(0),
+                               image_size=(32, 32), num_points=100)
+        # Non-trivial running stats so the BN fold actually has content.
+        variables = {
+            "params": variables["params"],
+            "batch_stats": jax.tree_util.tree_map(
+                lambda x: jnp.asarray(
+                    rng.uniform(0.5, 2.0, x.shape).astype(np.float32)),
+                variables["batch_stats"])}
+        imgs = rng.integers(0, 256, (2, 32, 32, 3)).astype(np.uint8)
+        pts = rng.normal(0, 20, (2, 100, 4)).astype(np.float32)
+        a = Predictor(tiny_cfg, variables)(imgs, pts)
+        b = Predictor(tiny_cfg, variables, freeze_weights=True)(imgs, pts)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
     def test_from_checkpoint_roundtrip(self, tiny_cfg, rng, tmp_path):
         from lmsu_tpu.training.checkpoint import save_checkpoint
         model = create_model(tiny_cfg)
