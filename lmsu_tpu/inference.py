@@ -32,12 +32,12 @@ class Predictor:
         eval-mode BatchNorms (scale/bias from running stats) into the
         adjacent convolution weights (the fold of ops/ir_fused.py::fold_bn,
         done by the compiler), eliminating the BN ops from the executable.
-        Measured on v5e (docs/DESIGN.md "Inference BN folding"): no
-        significant latency change — eval-mode BN+activation already fuse
-        into one elementwise pass whose bytes the fold cannot remove, and
-        the eval forward's long pole is the serial-row scatter. Kept as a
-        serving option (weights pinned at compile time, one fewer transfer
-        per call); default off.
+        Measured on v5e (docs/DESIGN.md "Inference BN folding"): +6.9%
+        at B=1 (1.69 -> 1.58 ms/fwd, above the ±2.5% variance band) and
+        no change at B=32 (-0.9%) — the batched forward is
+        HBM-activation-bound and the fold removes no activation bytes.
+        A real but small single-frame serving win; default off because
+        weights are pinned at compile time (no hot-swap).
         """
         self.config = config
         self.model = create_model(config)

@@ -29,7 +29,7 @@ def train_variant(fusion_type: str, args) -> dict:
     cfg = apply_overrides(cfg, args)
     if args.save_dir is None:  # per-variant run dirs unless overridden
         cfg = cfg.replace(train=dataclasses.replace(
-            cfg.train, save_dir=f"checkpoints/fusion_ablation_{fusion_type}"))
+            cfg.train, save_dir=f"{args.run_prefix}_{fusion_type}"))
     if args.kd:
         cfg = cfg.replace(train=dataclasses.replace(
             cfg.train, kd=KDConfig(enabled=True,
@@ -61,6 +61,9 @@ def main(argv=None) -> dict:
                    help="distill each variant from a 2x-wide teacher")
     p.add_argument("--teacher-checkpoint", default=None)
     p.add_argument("--output", default="fusion_ablation_results.json")
+    p.add_argument("--run-prefix", default="checkpoints/fusion_ablation",
+                   help="per-variant run dirs become <prefix>_<type> "
+                   "(lets e.g. a hard-benchmark sweep keep its own dirs)")
     args = p.parse_args(argv)
 
     results = {}
