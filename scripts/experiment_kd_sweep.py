@@ -44,13 +44,18 @@ def main(argv=None) -> dict:
     add_common_args(p)
     p.add_argument("--teacher-checkpoint", default=None)
     p.add_argument("--output", default="kd_sweep_results.json")
+    p.add_argument("--configs", nargs="+", default=None,
+                   choices=[g[0] for g in GRID],
+                   help="run only these GRID entries (e.g. to replicate "
+                   "one config on another seed)")
     args = p.parse_args(argv)
     seed = args.seed if args.seed is not None else 0
     tck = args.teacher_checkpoint or \
         f"checkpoints/kd_lift_teacher_s{seed}/latest.ckpt"
 
+    grid = [g for g in GRID if args.configs is None or g[0] in args.configs]
     results = {}
-    for name, temp, a_kl, b_feat in GRID:
+    for name, temp, a_kl, b_feat in grid:
         kd = KDConfig(enabled=True, temperature=temp, alpha_kl=a_kl,
                       beta_feature=b_feat, teacher_width_mult=2.0,
                       teacher_checkpoint=tck, cache_teacher=True)
