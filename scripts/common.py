@@ -48,6 +48,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    choices=["spatial", "pointpillars"],
                    help="LiDAR encoder implementation (reference "
                    "lidar_encoder.py:193 encoder_type)")
+    p.add_argument("--fusion-type", default=None,
+                   choices=["concat", "minimal", "weighted"],
+                   help="override the script's fusion variant (single-run "
+                   "scripts; the ablation sweep sets its own)")
+    p.add_argument("--fusion-channels", type=int, default=None,
+                   help="override ModelConfig.fusion_out_channels")
 
 
 def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
@@ -84,6 +90,10 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
     if getattr(args, "lidar_encoder", None) is not None:
         model = model.replace(lidar=dataclasses.replace(
             model.lidar, encoder_type=args.lidar_encoder))
+    if getattr(args, "fusion_type", None) is not None:
+        model = model.replace(fusion_type=args.fusion_type)
+    if getattr(args, "fusion_channels", None) is not None:
+        model = model.replace(fusion_out_channels=args.fusion_channels)
     return cfg.replace(
         model=model,
         data=dataclasses.replace(cfg.data, **data_kw),
