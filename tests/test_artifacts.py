@@ -1,0 +1,77 @@
+"""Committed experiment artifacts stay loadable and internally consistent.
+
+The result JSONs at the repo root are the published evidence for the
+KD/ablation claims (README, ROADMAP); these tests pin their schema and
+internal arithmetic so refactors of the experiment scripts can't silently
+break or orphan them. Reference-schema parity for
+fusion_ablation_results.json mirrors train_with_fusion_ablation.py:133-134.
+"""
+
+import json
+import os
+
+import pytest
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _load(name):
+    path = os.path.join(ROOT, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not present")
+    with open(path) as f:
+        return json.load(f)
+
+
+def test_fusion_ablation_reference_schema():
+    d = _load("fusion_ablation_results.json")
+    for variant, params in (("concat", "573,442"), ("minimal", "494,978"),
+                            ("weighted", "528,132")):
+        assert set(d[variant]) == {"miou", "total_params", "fusion_params"}
+        assert d[variant]["total_params"] == params
+        assert 0.0 <= d[variant]["miou"] <= 1.0
+
+
+def test_kd_comparison_paired_gaps_consistent():
+    d = _load("kd_comparison_results.json")
+    arms = ("teacher", "student", "student_kd")
+    per_seed = d["per_seed"]
+    assert len(per_seed) >= 3
+    for s, row in per_seed.items():
+        assert set(arms) <= set(row)
+        gap = row["student_kd"] - row["student"]
+        assert abs(gap - d["kd_gap_per_seed"][s]) < 1e-3
+    mean_gap = sum(d["kd_gap_per_seed"].values()) / len(per_seed)
+    assert abs(mean_gap - d["kd_gap_mean"]) < 1e-3
+    assert d["kd_lift_every_seed"] == (min(d["kd_gap_per_seed"].values()) > 0)
+    for a in arms:
+        mean = sum(r[a] for r in per_seed.values()) / len(per_seed)
+        assert abs(mean - d["mean_miou"][a]) < 1e-3
+
+
+def test_kd_cache_equivalence_is_exact():
+    d = _load("kd_cache_equiv.json")
+    assert d["abs_diff"] == 0.0
+    assert d["student_kd_cached"] == d["student_kd_inloop"]
+
+
+def test_kd_variants_all_positive():
+    d = _load("kd_variants_results.json")
+    for variant, row in d["per_variant"].items():
+        assert row["kd_gap"] > 0, variant
+        assert abs((row["student_kd"] - row["student_alone"])
+                   - row["kd_gap"]) < 1e-3
+
+
+def test_seeded_ablation_weighted_trails_on_every_seed():
+    d = _load("fusion_ablation_hard_seeded.json")
+    for s, row in d["per_seed"].items():
+        assert row["weighted"] < row["concat"], s
+        assert row["weighted"] < row["minimal"], s
+
+
+def test_pp_seeded_paired_gaps_consistent():
+    d = _load("pp_ablation_seeded.json")
+    for s, row in d["per_seed"].items():
+        assert abs((row["pointpillars"] - row["spatial"])
+                   - row["paired_gap"]) < 1e-3
