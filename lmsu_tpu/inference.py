@@ -103,3 +103,61 @@ class Predictor:
             if pv.ndim == 1:
                 pv = pv[None]
         return np.asarray(self._predict(self.variables, images, pts, pv))[0]
+
+    # -- serving export (jax.export / StableHLO) ----------------------------
+
+    def export(self, path: str, batch_size: int = 1,
+               image_size: Optional[tuple] = None,
+               num_points: int = 5000,
+               with_point_valid: bool = True,
+               platforms: Optional[tuple] = None) -> None:
+        """Serialize the forward as a self-contained serving artifact.
+
+        The trained weights are closed into the exported function as
+        constants (the freeze_weights trade), so the artifact needs NO
+        Python model code, flax, or checkpoint at load time — just
+        `load_exported(path)` and jax. StableHLO serialization gives the
+        versioning/compatibility guarantees of jax.export (the TPU-native
+        analog of torchscript/ONNX export, which the reference lacks).
+
+        platforms: lowering platforms tuple, e.g. ("tpu",) or
+        ("cpu", "tpu") for a cross-platform artifact; default = the
+        current backend.
+        """
+        from jax import export as jexport
+
+        hw = image_size or (self.config.image_size
+                            if hasattr(self.config, "image_size")
+                            else (256, 256))
+        const_vars = self.variables
+        if with_point_valid:
+            def fn(i, p, pv):
+                return self.model.apply(const_vars, i, p, train=False,
+                                        point_valid=pv)
+            specs = (jax.ShapeDtypeStruct((batch_size, *hw, 3), jnp.float32),
+                     jax.ShapeDtypeStruct((batch_size, num_points, 4),
+                                          jnp.float32),
+                     jax.ShapeDtypeStruct((batch_size, num_points),
+                                          jnp.bool_))
+        else:
+            def fn(i, p):
+                return self.model.apply(const_vars, i, p, train=False)
+            specs = (jax.ShapeDtypeStruct((batch_size, *hw, 3), jnp.float32),
+                     jax.ShapeDtypeStruct((batch_size, num_points, 4),
+                                          jnp.float32))
+        exp = jexport.export(jax.jit(fn),
+                             platforms=platforms)(*specs)
+        with open(path, "wb") as f:
+            f.write(exp.serialize())
+
+
+def load_exported(path: str):
+    """Load a Predictor.export() artifact; returns a callable.
+
+    The callable takes (images, points[, point_valid]) exactly as exported
+    and returns logits [B, H, W, num_classes]. No model code needed.
+    """
+    from jax import export as jexport
+    with open(path, "rb") as f:
+        exp = jexport.deserialize(f.read())
+    return jax.jit(exp.call)

@@ -101,3 +101,41 @@ class TestPredictor:
             np.zeros((256, 256, 3), np.uint8),
             np.zeros((5000, 4), np.float32))
         assert mask.shape == (64, 64)
+
+
+class TestExport:
+    """jax.export serving artifact: serialize -> deserialize -> same logits."""
+
+    def test_export_roundtrip(self, tiny_cfg, rng, tmp_path):
+        from lmsu_tpu.inference import load_exported
+        model = create_model(tiny_cfg)
+        variables = init_model(model, jax.random.PRNGKey(0),
+                               image_size=(32, 32), num_points=100)
+        pred = Predictor(tiny_cfg, variables)
+        path = str(tmp_path / "student.stablehlo")
+        pred.export(path, batch_size=2, image_size=(32, 32), num_points=100)
+
+        serve = load_exported(path)
+        imgs = rng.uniform(0, 1, (2, 32, 32, 3)).astype(np.float32)
+        pts = rng.normal(0, 20, (2, 100, 4)).astype(np.float32)
+        pv = np.ones((2, 100), bool)
+        got = serve(imgs, pts, pv)
+        want = pred(imgs, pts, point_valid=pv)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_export_without_point_valid(self, tiny_cfg, rng, tmp_path):
+        from lmsu_tpu.inference import load_exported
+        model = create_model(tiny_cfg)
+        variables = init_model(model, jax.random.PRNGKey(0),
+                               image_size=(32, 32), num_points=100)
+        pred = Predictor(tiny_cfg, variables)
+        path = str(tmp_path / "nopv.stablehlo")
+        pred.export(path, batch_size=1, image_size=(32, 32), num_points=100,
+                    with_point_valid=False)
+        serve = load_exported(path)
+        imgs = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+        pts = rng.normal(0, 20, (1, 100, 4)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(serve(imgs, pts)),
+                                   np.asarray(pred(imgs, pts)), atol=1e-5)
