@@ -75,3 +75,26 @@ def test_pp_seeded_paired_gaps_consistent():
     for s, row in d["per_seed"].items():
         assert abs((row["pointpillars"] - row["spatial"])
                    - row["paired_gap"]) < 1e-3
+
+
+def test_kd_sweep_baselines_match_comparison():
+    d = _load("kd_sweep_results.json")
+    ref = _load("kd_comparison_results.json")["per_seed"][str(d["seed"])]
+    assert abs(d["baselines"]["student_alone"] - ref["student"]) < 1e-9
+    assert abs(d["baselines"]["student_kd_T2_a.5_b.5"]
+               - ref["student_kd"]) < 1e-9
+    assert set(d["sweep"])  # non-empty
+    for v in d["sweep"].values():
+        assert 0.0 <= v <= 1.0
+
+
+def test_kd_compression_gap_positive_at_every_width():
+    d = _load("kd_compression_results.json")
+    assert d["teacher"]["params"] == 2026052
+    prev_params = d["w1_reference"]["params"]
+    for tag, row in d["sweep"].items():
+        assert row["kd_gap"] > 0, tag
+        assert row["params"] < prev_params, tag  # strictly shrinking
+        prev_params = row["params"]
+        assert abs((row["student_kd"] - row["student"])
+                   - row["kd_gap"]) < 1e-3
