@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from lmsu_tpu.config import ModelConfig
-from lmsu_tpu.models import create_model, init_model
+from lmsu_tpu.models import create_model
 
 
 class Predictor:

@@ -22,7 +22,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-from scripts.common import add_common_args, apply_overrides, build_loaders
+from scripts.common import add_common_args, build_loaders
 from scripts.experiment_kd_lift import _base_config
 
 from lmsu_tpu.config import KDConfig
