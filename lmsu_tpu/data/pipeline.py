@@ -40,7 +40,7 @@ class Batcher:
     def __init__(self, dataset, batch_size: int, shuffle: bool = False,
                  seed: int = 0, drop_last: bool = False,
                  num_shards: int = 1, shard_index: int = 0,
-                 decode_workers: int = 0):
+                 decode_workers: int = 0, sample_transform=None):
         if batch_size % num_shards != 0:
             raise ValueError(f"global batch_size {batch_size} not divisible "
                              f"by num_shards {num_shards}")
@@ -60,17 +60,24 @@ class Batcher:
         # the GIL, and thread workers avoid pickling batches across
         # processes. 0/1 = decode inline on the producer thread.
         self.decode_workers = decode_workers
+        # Optional per-sample post-decode transform (e.g.
+        # data/rasterize.py::make_point_sorter for the sorted-input scatter
+        # kernel); runs on the decode workers, so it overlaps device compute.
+        self.sample_transform = sample_transform
         self._pool = None
         self._epoch = 0
+
+    def _get(self, i):
+        s = self.dataset[int(i)]
+        return self.sample_transform(s) if self.sample_transform else s
 
     def _decode(self, indices):
         if self.decode_workers > 1:
             if self._pool is None:
                 from concurrent.futures import ThreadPoolExecutor
                 self._pool = ThreadPoolExecutor(self.decode_workers)
-            return list(self._pool.map(self.dataset.__getitem__,
-                                       [int(i) for i in indices]))
-        return [self.dataset[int(i)] for i in indices]
+            return list(self._pool.map(self._get, indices))
+        return [self._get(i) for i in indices]
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -169,7 +176,8 @@ class PrefetchLoader:
             stop.set()
 
 
-def materialize_dataset(dataset, batch_size: int) -> Dict[str, np.ndarray]:
+def materialize_dataset(dataset, batch_size: int,
+                        sample_transform=None) -> Dict[str, np.ndarray]:
     """Stack the whole dataset into fixed-shape arrays, padded to a multiple
     of batch_size, for the on-chip epoch loop (TrainConfig.onchip_epoch).
 
@@ -179,6 +187,8 @@ def materialize_dataset(dataset, batch_size: int) -> Dict[str, np.ndarray]:
     n = len(dataset)
     n_pad = (n + batch_size - 1) // batch_size * batch_size
     samples = [dataset[i] for i in range(n)]
+    if sample_transform is not None:
+        samples = [sample_transform(s) for s in samples]
     out: Dict[str, np.ndarray] = {}
     for key in samples[0]:
         if key == "sample_token":
@@ -200,7 +210,8 @@ def make_loader(dataset, batch_size: int, shuffle: bool, seed: int = 0,
                 drop_last: bool = False, prefetch: int = 2,
                 num_shards: Optional[int] = None,
                 shard_index: Optional[int] = None,
-                decode_workers: int = 0) -> PrefetchLoader:
+                decode_workers: int = 0,
+                sample_transform=None) -> PrefetchLoader:
     """Build the prefetching loader. num_shards/shard_index default to
     jax.process_count()/jax.process_index() so multi-host runs shard the
     input pipeline automatically (single-process: 1/0, a no-op)."""
@@ -211,4 +222,6 @@ def make_loader(dataset, batch_size: int, shuffle: bool, seed: int = 0,
     return PrefetchLoader(Batcher(dataset, batch_size, shuffle, seed,
                                   drop_last, num_shards=num_shards,
                                   shard_index=shard_index,
-                                  decode_workers=decode_workers), prefetch)
+                                  decode_workers=decode_workers,
+                                  sample_transform=sample_transform),
+                          prefetch)

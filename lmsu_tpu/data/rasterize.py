@@ -52,3 +52,56 @@ def rasterize_bev(
         cells, first = np.unique(flat[nz], return_index=True)
         mask.ravel()[cells] = labels[nz][first]
     return mask
+
+
+def bev_cell_key(points: np.ndarray, grid_size: Tuple[int, int],
+                 pc_range6, point_valid: np.ndarray | None = None
+                 ) -> np.ndarray:
+    """Host replica of ops/scatter.py::points_to_bev_indices as a sort key:
+    flat cell id for in-range valid points, H*W (sentinel) otherwise.
+
+    fp32 arithmetic in the same op order as the device computation. (TPU
+    fp32 division is not guaranteed correctly rounded, so a point sitting
+    exactly on a cell boundary can in principle land one cell off between
+    host and device; that can displace isolated boundary points at most —
+    see scatter_sorted_pallas module docstring.)
+    """
+    H, W = grid_size
+    x_min, y_min, x_max, y_max = (np.float32(pc_range6[0]),
+                                  np.float32(pc_range6[1]),
+                                  np.float32(pc_range6[3]),
+                                  np.float32(pc_range6[4]))
+    x = points[..., 0].astype(np.float32)
+    y = points[..., 1].astype(np.float32)
+    x_norm = (x - x_min) / (x_max - x_min)
+    y_norm = (y - y_min) / (y_max - y_min)
+    valid = (x_norm >= 0) & (x_norm <= 1) & (y_norm >= 0) & (y_norm <= 1)
+    if point_valid is not None:
+        valid &= point_valid
+    col = np.clip((x_norm * (W - 1)).astype(np.int32), 0, W - 1)
+    row = np.clip((y_norm * (H - 1)).astype(np.int32), 0, H - 1)
+    return np.where(valid, row * W + col, H * W).astype(np.int32)
+
+
+def make_point_sorter(grid_size: Tuple[int, int], pc_range6):
+    """Per-sample transform reordering `points` (and `point_valid`) by BEV
+    cell id, invalid/out-of-range last — the input contract of the
+    sorted-input scatter kernel (ops/scatter_sorted_pallas.py). The model is
+    order-invariant (per-point MLP + max pooling), so this transform is
+    semantics-preserving for every encoder/scatter; apply AFTER label
+    rasterization (it is: rasterization happens inside __getitem__).
+
+    Use as Batcher(..., sample_transform=make_point_sorter(...)).
+    """
+    def transform(sample):
+        pts = sample["points"]
+        key = bev_cell_key(pts, grid_size, pc_range6,
+                           sample.get("point_valid"))
+        order = np.argsort(key, kind="stable")
+        out = dict(sample)
+        out["points"] = pts[order]
+        if "point_valid" in sample:
+            out["point_valid"] = sample["point_valid"][order]
+        return out
+
+    return transform

@@ -43,6 +43,13 @@ def _scatter(cfg: LidarEncoderConfig, feats, flat_idx, valid):
         return bev_scatter_max_pallas(feats, flat_idx, valid, cfg.grid_size)
     if impl == "sorted":
         return bev_scatter_max_sorted(feats, flat_idx, valid, cfg.grid_size)
+    if impl == "sorted_pallas":
+        # Requires points pre-sorted by BEV cell (pipeline sort_by_bev_cell
+        # flag or ops/scatter_sorted_pallas.py::sort_points_by_bev_cell).
+        from lmsu_tpu.ops.scatter_sorted_pallas import (
+            bev_scatter_max_sorted_pallas)
+        return bev_scatter_max_sorted_pallas(feats, flat_idx, valid,
+                                             cfg.grid_size)
     if impl == "xla_fastbwd":
         return bev_scatter_max_fastbwd(feats, flat_idx, valid, cfg.grid_size)
     if impl == "xla":

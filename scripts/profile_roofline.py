@@ -268,6 +268,38 @@ def main():
             measure(f"{sname}_fwd+bwd", sc_fwdbwd, jnp.zeros((), jnp.float32),
                     n, results)
 
+    # Sorted-input kernels: same data, pre-sorted by cell id (the production
+    # contract — the pipeline's sort_by_bev_cell flag does this at decode).
+    hw = 64 * 64
+    key = np.where(np.asarray(valid), np.asarray(flat_idx), hw)
+    order = np.argsort(key, axis=-1, kind="stable")
+    feats_s = jnp.asarray(np.take_along_axis(np.asarray(feats_pt), order[..., None], 1))
+    idx_s = jnp.asarray(np.take_along_axis(np.asarray(flat_idx), order, 1))
+    valid_s = jnp.asarray(np.take_along_axis(np.asarray(valid), order, 1))
+    from lmsu_tpu.ops.scatter_sorted_pallas import bev_scatter_max_sorted_pallas
+    from lmsu_tpu.ops.voxelize_pallas import bev_scatter_max_pallas
+    for sname, sfn, use_sorted in [
+            ("scatter_sorted_pallas", bev_scatter_max_sorted_pallas, True),
+            ("scatter_xla_sortedin", bev_scatter_max, True),
+            ("scatter_pallas", bev_scatter_max_pallas, False)]:
+        if enabled(sname):
+            fa, ia, va = ((feats_s, idx_s, valid_s) if use_sorted
+                          else (feats_pt, flat_idx, valid))
+
+            def sc_fwd(carry, fn=sfn, fa=fa, ia=ia, va=va):
+                out = fn(fa + carry, ia, va, (64, 64))
+                return _chain_scalar(out)
+            measure(f"{sname}_fwd", sc_fwd, jnp.zeros((), jnp.float32), n,
+                    results)
+
+            def sc_fwdbwd(carry, fn=sfn, fa=fa, ia=ia, va=va):
+                g = jax.grad(lambda f: jnp.sum(
+                    jnp.square(fn(f, ia, va, (64, 64))
+                               .astype(jnp.float32))))(fa + carry)
+                return _chain_scalar(g)
+            measure(f"{sname}_fwd+bwd", sc_fwdbwd, jnp.zeros((), jnp.float32),
+                    n, results)
+
     with open(args.out, "w") as f:
         json.dump({"batch": B, "dtype": dtype.__name__, "iters": n,
                    "results": results}, f, indent=1)
