@@ -12,6 +12,8 @@ import sys
 
 sys.path.insert(0, ".")
 
+from scripts.common import apply_env_platform
+
 import numpy as np
 
 from lmsu_tpu.config import DataConfig
@@ -55,6 +57,7 @@ def report(name: str, counts: np.ndarray):
 
 
 def main(argv=None):
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--dataset", default="synthetic",
                    choices=["pandaset", "synthetic"])

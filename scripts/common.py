@@ -13,6 +13,22 @@ from lmsu_tpu.data import create_datasets, make_loader
 from lmsu_tpu.parallel.mesh import make_mesh
 
 
+def apply_env_platform() -> None:
+    """Honor the JAX_PLATFORMS env var *exactly*.
+
+    On this image the axon TPU plugin registers itself at interpreter start
+    and prepends its platform, so `JAX_PLATFORMS=cpu python script.py`
+    resolves to "axon,cpu" — the script still tries to initialize the TPU
+    first, and a wedged relay hangs it forever instead of falling back.
+    Calling this at main() start pins the platform list to the env value
+    (no-op when the variable is unset)."""
+    import os
+    p = os.environ.get("JAX_PLATFORMS")
+    if p:
+        import jax
+        jax.config.update("jax_platforms", p)
+
+
 def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data-root", default=None,
                    help="PandaSet root (scene dirs); default per config")

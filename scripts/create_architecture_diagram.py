@@ -11,8 +11,11 @@ import sys
 
 sys.path.insert(0, ".")
 
+from scripts.common import apply_env_platform
+
 
 def main(argv=None):
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--fusion-type", default="concat",
                    choices=["concat", "minimal", "weighted"])

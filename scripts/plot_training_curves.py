@@ -13,8 +13,11 @@ import sys
 
 sys.path.insert(0, ".")
 
+from scripts.common import apply_env_platform
+
 
 def main(argv=None):
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--runs", nargs="+",
                    default=["checkpoints/fusion_ablation_concat",

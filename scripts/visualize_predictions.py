@@ -13,6 +13,8 @@ import sys
 
 sys.path.insert(0, ".")
 
+from scripts.common import apply_env_platform
+
 import numpy as np
 
 from lmsu_tpu.config import ExperimentConfig, ModelConfig, DataConfig, TrainConfig
@@ -33,6 +35,7 @@ def compute_iou_per_sample(pred: np.ndarray, gt: np.ndarray,
 
 
 def main(argv=None):
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint",
                    default="checkpoints/fusion_ablation_concat/best.ckpt")
