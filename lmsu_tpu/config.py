@@ -79,8 +79,13 @@ class LidarEncoderConfig:
     # ops/scatter.py::bev_scatter_max_sorted), or "pallas" (VMEM-resident
     # kernel, ops/voxelize_pallas.py — mesh-compatible: a
     # custom_partitioning rule shards the batch dim, so it runs per-shard
-    # under a >1-device data-sharded step). Pick per measurement;
-    # equivalence of all four is pinned by tests.
+    # under a >1-device data-sharded step), or "sorted_pallas"
+    # (ops/scatter_sorted_pallas.py — segmented roll-max scan + one-hot MXU
+    # placement matmuls, no row-serial ops in either direction;
+    # mesh-compatible; REQUIRES points pre-sorted by BEV cell, which the
+    # pipeline provides via data/rasterize.py::make_point_sorter /
+    # the loaders' sample_transform hook). Pick per measurement;
+    # equivalence of all five is pinned by tests.
     scatter_impl: str = "xla"
     # Deprecated alias: use_pallas=True == scatter_impl="pallas".
     use_pallas: bool = False

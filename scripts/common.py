@@ -70,6 +70,12 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    "scripts; the ablation sweep sets its own)")
     p.add_argument("--fusion-channels", type=int, default=None,
                    help="override ModelConfig.fusion_out_channels")
+    p.add_argument("--scatter-impl", default=None,
+                   choices=["xla", "xla_fastbwd", "sorted", "pallas",
+                            "sorted_pallas"],
+                   help="BEV scatter-max algorithm (LidarEncoderConfig."
+                   "scatter_impl); 'sorted_pallas' also turns on the "
+                   "pipeline's by-cell point sorting")
 
 
 def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
@@ -110,6 +116,9 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         model = model.replace(fusion_type=args.fusion_type)
     if getattr(args, "fusion_channels", None) is not None:
         model = model.replace(fusion_out_channels=args.fusion_channels)
+    if getattr(args, "scatter_impl", None) is not None:
+        model = model.replace(lidar=dataclasses.replace(
+            model.lidar, scatter_impl=args.scatter_impl))
     return cfg.replace(
         model=model,
         data=dataclasses.replace(cfg.data, **data_kw),
@@ -118,12 +127,21 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
 
 def build_loaders(cfg: ExperimentConfig, verbose: bool = True):
     train_ds, val_ds = create_datasets(cfg.data, verbose=verbose)
+    transform = None
+    if cfg.model.lidar.scatter_impl == "sorted_pallas":
+        # The sorted-input kernel's contract: points ordered by BEV cell
+        # (data/rasterize.py; order-invariant for every other impl too).
+        from lmsu_tpu.data.rasterize import make_point_sorter
+        transform = make_point_sorter(cfg.model.lidar.grid_size,
+                                      cfg.model.lidar.point_cloud_range)
     train_loader = make_loader(train_ds, cfg.data.batch_size,
                                shuffle=cfg.data.shuffle_train,
                                seed=cfg.train.seed,
-                               decode_workers=cfg.data.num_workers)
+                               decode_workers=cfg.data.num_workers,
+                               sample_transform=transform)
     val_loader = make_loader(val_ds, cfg.data.batch_size, shuffle=False,
-                             decode_workers=cfg.data.num_workers)
+                             decode_workers=cfg.data.num_workers,
+                             sample_transform=transform)
     print(f"Dataset: {cfg.data.dataset} — {len(train_ds)} train / "
           f"{len(val_ds)} val samples")
     return train_loader, val_loader

@@ -22,7 +22,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-from scripts.common import add_common_args, build_loaders
+from scripts.common import add_common_args, build_loaders, apply_env_platform
 from scripts.experiment_kd_lift import _base_config
 
 from lmsu_tpu.config import KDConfig, teacher_config
@@ -31,6 +31,7 @@ from lmsu_tpu.training import DistillationTrainer, Trainer
 
 
 def main(argv=None) -> dict:
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     p.add_argument("--widths", type=float, nargs="+", default=[0.5, 0.25])

@@ -32,7 +32,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-from scripts.common import add_common_args, apply_overrides, build_loaders
+from scripts.common import add_common_args, apply_overrides, build_loaders, apply_env_platform
 
 from lmsu_tpu.config import (DataConfig, ExperimentConfig, KDConfig,
                              ModelConfig, TrainConfig, teacher_config)
@@ -115,6 +115,7 @@ def run_seed(seed: int, args) -> dict:
 
 
 def main(argv=None) -> dict:
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])

@@ -22,7 +22,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-from scripts.common import add_common_args, build_loaders
+from scripts.common import add_common_args, build_loaders, apply_env_platform
 from scripts.experiment_kd_lift import _base_config
 
 from lmsu_tpu.config import KDConfig
@@ -40,6 +40,7 @@ GRID = (
 
 
 def main(argv=None) -> dict:
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     p.add_argument("--teacher-checkpoint", default=None)

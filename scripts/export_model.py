@@ -17,8 +17,11 @@ import sys
 
 sys.path.insert(0, ".")
 
+from scripts.common import apply_env_platform
+
 
 def main(argv=None) -> None:
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", required=True)
     p.add_argument("--output", required=True)

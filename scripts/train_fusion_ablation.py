@@ -15,7 +15,7 @@ import sys
 
 sys.path.insert(0, ".")
 
-from scripts.common import add_common_args, apply_overrides, build_loaders
+from scripts.common import add_common_args, apply_overrides, build_loaders, apply_env_platform
 
 from lmsu_tpu.config import KDConfig, preset_fusion_ablation
 from lmsu_tpu.models import get_architecture_summary
@@ -53,6 +53,7 @@ def train_variant(fusion_type: str, args) -> dict:
 
 
 def main(argv=None) -> dict:
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     p.add_argument("--variants", nargs="+", default=list(VARIANTS),

@@ -15,7 +15,8 @@ import sys
 sys.path.insert(0, ".")
 
 from scripts.common import (add_common_args, apply_overrides, build_loaders,
-                            maybe_resume)
+                            maybe_resume,
+                            apply_env_platform)
 
 from lmsu_tpu.config import preset_pandaset_weighted
 from lmsu_tpu.models import get_architecture_summary
@@ -23,6 +24,7 @@ from lmsu_tpu.training import Trainer
 
 
 def main(argv=None) -> float:
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     p.add_argument("--num-classes", type=int, default=3)

@@ -13,13 +13,15 @@ import sys
 sys.path.insert(0, ".")
 
 from scripts.common import (add_common_args, apply_overrides, build_loaders,
-                            maybe_resume)
+                            maybe_resume,
+                            apply_env_platform)
 
 from lmsu_tpu.config import DataConfig, ExperimentConfig, ModelConfig, TrainConfig
 from lmsu_tpu.training import Trainer
 
 
 def main(argv=None) -> float:
+    apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
     args = p.parse_args(argv)
