@@ -192,3 +192,52 @@ class TestSortedPallasOnMesh:
             bev_scatter_max(f, idx, valid, HW) ** 2))(feats)
         np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
                                    atol=1e-6)
+
+
+class TestHostKeyParity:
+    def test_bev_cell_key_matches_device_indices(self, rng):
+        """The host sort key (data/rasterize.py::bev_cell_key) must agree
+        with the device index computation on the same fp32 inputs (same op
+        order; CPU backend is IEEE like numpy)."""
+        from lmsu_tpu.data.rasterize import bev_cell_key
+        pts = rng.normal(0, 30, (4, 500, 4)).astype(np.float32)
+        pc6 = (-50.0, -50.0, -5.0, 50.0, 50.0, 3.0)
+        HW = (64, 64)
+        host = bev_cell_key(pts, HW, pc6)
+        didx, dvalid = points_to_bev_indices(
+            jnp.asarray(pts)[..., :2], HW, pc6)
+        dev = np.where(np.asarray(dvalid), np.asarray(didx), 64 * 64)
+        np.testing.assert_array_equal(host, dev)
+
+    def test_point_sorter_sample_transform(self, rng):
+        from lmsu_tpu.data.rasterize import bev_cell_key, make_point_sorter
+        pc6 = (-50.0, -50.0, -5.0, 50.0, 50.0, 3.0)
+        sorter = make_point_sorter((8, 8), pc6)
+        pts = rng.normal(0, 30, (100, 4)).astype(np.float32)
+        pv = rng.uniform(size=100) > 0.5
+        out = sorter({"points": pts, "point_valid": pv, "other": 1})
+        key = bev_cell_key(out["points"], (8, 8), pc6, out["point_valid"])
+        assert (np.diff(key) >= 0).all()
+        # Same multiset of (point, valid) pairs.
+        a = np.concatenate([pts, pv[:, None]], 1)
+        b = np.concatenate([out["points"], out["point_valid"][:, None]], 1)
+        np.testing.assert_array_equal(
+            np.sort(a.view([('', a.dtype)] * 5), axis=0),
+            np.sort(b.view([('', b.dtype)] * 5), axis=0))
+        assert out["other"] == 1
+
+
+class TestWideLanes:
+    def test_teacher_width_c256(self, rng):
+        """Lane dim beyond one 128-lane tile (the 2x teacher's C=256)."""
+        feats, idx, valid, HW = _sorted_data(rng, B=1, N=300, C=256,
+                                             HW=(4, 4))
+        a = bev_scatter_max(feats, idx, valid, HW)
+        b = bev_scatter_max_sorted_pallas(feats, idx, valid, HW)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        ga = jax.grad(lambda f: jnp.sum(
+            bev_scatter_max(f, idx, valid, HW) ** 2))(feats)
+        gb = jax.grad(lambda f: jnp.sum(
+            bev_scatter_max_sorted_pallas(f, idx, valid, HW) ** 2))(feats)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=1e-6)
