@@ -58,7 +58,8 @@ def bench_shapes(tiny: bool):
 
 
 def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
-                   cached_teacher: bool = False, tiny: bool = False):
+                   cached_teacher: bool = False, tiny: bool = False,
+                   scatter_impl: str = None):
     """Returns (run, state, n_iters, (student, s_vars)) where run(state)
     executes n_iters chained KD train steps in one lax.scan dispatch.
 
@@ -91,10 +92,18 @@ def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
             camera=CameraEncoderConfig(base_channels=8),
             lidar=LidarEncoderConfig(feature_dim=32, mlp_dims=(16, 32),
                                      grid_size=(16, 16)))
+        if scatter_impl:
+            import dataclasses
+            student_cfg = student_cfg.replace(lidar=dataclasses.replace(
+                student_cfg.lidar, scatter_impl=scatter_impl))
     else:
         student_cfg = ModelConfig(num_classes=2, fusion_type="weighted",
                                   fusion_out_channels=128,
                                   compute_dtype=compute_dtype)
+        if scatter_impl:
+            import dataclasses
+            student_cfg = student_cfg.replace(lidar=dataclasses.replace(
+                student_cfg.lidar, scatter_impl=scatter_impl))
     img_hw, n_pts, label_hw = bench_shapes(tiny)
     teacher_cfg = teacher_config(student_cfg, 2.0)
     kd = KDConfig(enabled=True, feature_taps=("camera_feat", "lidar_feat",
@@ -169,6 +178,15 @@ def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
                          jnp.float32)
     pts = rng.normal(0, 30, (batch, n_pts, 4)).astype(np.float32)
     pts[..., 2] = rng.uniform(-5, 3, (batch, n_pts))
+    if student_cfg.lidar.scatter_impl == "sorted_pallas":
+        # The sorted kernel's input contract; in training the sort rides
+        # the decode workers (scripts/common.py build_loaders), so it is a
+        # one-time host-side prep for this fixed bench batch too.
+        from lmsu_tpu.data.rasterize import bev_cell_key
+        key = bev_cell_key(pts, student_cfg.lidar.grid_size,
+                           student_cfg.lidar.point_cloud_range)
+        order = np.argsort(key, axis=-1, kind="stable")
+        pts = np.take_along_axis(pts, order[..., None], axis=1)
     points = jnp.asarray(pts)
     labels = jnp.asarray(rng.integers(0, 2, (batch, label_hw, label_hw)),
                          jnp.int32)
@@ -211,7 +229,8 @@ def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
 
 
 def measure_batch(batch: int, compute_dtype, want_flops: bool = False,
-                  cached_teacher: bool = False, tiny: bool = False):
+                  cached_teacher: bool = False, tiny: bool = False,
+                  scatter_impl: str = None):
     """Compile + time the KD step at one batch size. Returns
     (result dict, (student, s_vars)) — or (None, None) on OOM.
 
@@ -226,7 +245,8 @@ def measure_batch(batch: int, compute_dtype, want_flops: bool = False,
     from lmsu_tpu.utils.profiling import aot_compile_with_cost
     try:
         run, state, n_iters, model = build_kd_bench(
-            batch, compute_dtype, cached_teacher=cached_teacher, tiny=tiny)
+            batch, compute_dtype, cached_teacher=cached_teacher, tiny=tiny,
+            scatter_impl=scatter_impl)
         t0 = time.perf_counter()
         compiled, flops, _ = aot_compile_with_cost(run, state)
         if not want_flops:
@@ -305,6 +325,10 @@ def main() -> None:
                     help="scaled-down model + inputs: smoke-tests the whole "
                          "bench path in minutes on CPU (tests/test_bench.py)"
                          " — NOT a comparable throughput number")
+    ap.add_argument("--scatter-impl", default=None,
+                    help="override LidarEncoderConfig.scatter_impl for the "
+                         "bench models (e.g. sorted_pallas; the bench batch "
+                         "is pre-sorted by cell when set)")
     args = ap.parse_args()
 
     import jax
@@ -332,7 +356,7 @@ def main() -> None:
     model = None
     for b in batches:
         r, m = measure_batch(b, compute_dtype, want_flops=True,
-                             tiny=args.tiny)
+                             tiny=args.tiny, scatter_impl=args.scatter_impl)
         if r is not None:
             results.append(r)
             model = m
@@ -347,7 +371,8 @@ def main() -> None:
     # production path for this workload, training/distill.py; see module
     # docstring). In-loop-teacher numbers stay in `detail`.
     cached, _ = measure_batch(best["batch"], compute_dtype, want_flops=True,
-                              cached_teacher=True, tiny=args.tiny)
+                              cached_teacher=True, tiny=args.tiny,
+                              scatter_impl=args.scatter_impl)
 
     peak = PEAK_FLOPS.get(kind)
     mfu = None
