@@ -34,6 +34,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int64, ctypes.c_int64,
         ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
         ctypes.POINTER(ctypes.c_int64)]
+    lib.sort_points_by_cell.restype = None
+    lib.sort_points_by_cell.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8)]
     lib.sample_or_pad_points.restype = ctypes.c_int64
     lib.sample_or_pad_points.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
@@ -88,3 +94,33 @@ def sample_or_pad_native(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     return out, valid.astype(bool)
+
+
+def sort_points_by_cell_native(
+    points: np.ndarray, grid_size: Tuple[int, int],
+    pc_range: Tuple[float, float, float, float],
+    point_valid: Optional[np.ndarray] = None,
+) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Native stable counting sort by BEV cell (invalid last); None if the
+    lib is absent. pc_range here is (x_min, x_max, y_min, y_max) — the
+    rasterize-style 4-tuple."""
+    lib = _load()
+    if lib is None:
+        return None
+    H, W = grid_size
+    x_min, x_max, y_min, y_max = pc_range
+    points = np.ascontiguousarray(points, np.float32)
+    n, dim = points.shape
+    out = np.empty_like(points)
+    valid_out = np.empty((n,), np.uint8)
+    vp = None
+    if point_valid is not None:
+        vp = np.ascontiguousarray(point_valid, np.uint8)
+    lib.sort_points_by_cell(
+        points.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        vp.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        if vp is not None else None,
+        n, dim, H, W, x_min, x_max, y_min, y_max,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        valid_out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out, valid_out.astype(bool)

@@ -91,17 +91,29 @@ def make_point_sorter(grid_size: Tuple[int, int], pc_range6):
     semantics-preserving for every encoder/scatter; apply AFTER label
     rasterization (it is: rasterization happens inside __getitem__).
 
-    Use as Batcher(..., sample_transform=make_point_sorter(...)).
+    Use as Batcher(..., sample_transform=make_point_sorter(...)). Routes
+    through the native O(n + cells) counting sort (native/bev_ops.cc) when
+    the library is built; the numpy argsort fallback is bit-identical
+    (tests/test_native.py).
     """
+    range4 = (pc_range6[0], pc_range6[3], pc_range6[1], pc_range6[4])
+
     def transform(sample):
         pts = sample["points"]
-        key = bev_cell_key(pts, grid_size, pc_range6,
-                           sample.get("point_valid"))
-        order = np.argsort(key, kind="stable")
+        pv = sample.get("point_valid")
         out = dict(sample)
+        from lmsu_tpu.data.native import sort_points_by_cell_native
+        native = sort_points_by_cell_native(pts, grid_size, range4, pv)
+        if native is not None:
+            out["points"], valid_sorted = native
+            if pv is not None:
+                out["point_valid"] = valid_sorted
+            return out
+        key = bev_cell_key(pts, grid_size, pc_range6, pv)
+        order = np.argsort(key, kind="stable")
         out["points"] = pts[order]
-        if "point_valid" in sample:
-            out["point_valid"] = sample["point_valid"][order]
+        if pv is not None:
+            out["point_valid"] = pv[order]
         return out
 
     return transform

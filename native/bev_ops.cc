@@ -84,4 +84,48 @@ int64_t sample_or_pad_points(
   return max_points;
 }
 
+// Stable counting sort of points by BEV cell id, invalid/out-of-range last.
+// Provides the input contract of the sorted-input scatter kernel
+// (lmsu_tpu/ops/scatter_sorted_pallas.py) in O(n + h*w) per sample. The
+// key math mirrors lmsu_tpu/data/rasterize.py::bev_cell_key — fp32, same
+// op order as the device index computation (ops/scatter.py). point_dim is
+// the trailing feature width (4 for x,y,z,i). valid may be null (all
+// points treated as pipeline-valid; range still applies to the key).
+void sort_points_by_cell(
+    const float* points, const uint8_t* valid, int64_t n, int64_t point_dim,
+    int64_t h, int64_t w,
+    float x_min, float x_max, float y_min, float y_max,
+    float* out, uint8_t* valid_out) {
+  const int64_t hw = h * w;
+  int32_t* keys = new int32_t[n];
+  int64_t* counts = new int64_t[hw + 2]();
+  for (int64_t i = 0; i < n; ++i) {
+    // Match numpy/device rounding exactly: divide (a reciprocal-multiply
+    // rounds differently).
+    const float xn = (points[i * point_dim + 0] - x_min) / (x_max - x_min);
+    const float yn = (points[i * point_dim + 1] - y_min) / (y_max - y_min);
+    const bool in_range = xn >= 0.0f && xn <= 1.0f && yn >= 0.0f && yn <= 1.0f;
+    const bool ok = in_range && (valid == nullptr || valid[i]);
+    int32_t key = static_cast<int32_t>(hw);
+    if (ok) {
+      int32_t col = static_cast<int32_t>(xn * (w - 1));
+      int32_t row = static_cast<int32_t>(yn * (h - 1));
+      if (col < 0) col = 0; else if (col >= w) col = static_cast<int32_t>(w) - 1;
+      if (row < 0) row = 0; else if (row >= h) row = static_cast<int32_t>(h) - 1;
+      key = row * static_cast<int32_t>(w) + col;
+    }
+    keys[i] = key;
+    ++counts[key + 1];
+  }
+  for (int64_t c = 1; c <= hw + 1; ++c) counts[c] += counts[c - 1];
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t pos = counts[keys[i]]++;
+    std::memcpy(out + pos * point_dim, points + i * point_dim,
+                sizeof(float) * point_dim);
+    valid_out[pos] = valid == nullptr ? 1 : valid[i];
+  }
+  delete[] keys;
+  delete[] counts;
+}
+
 }  // extern "C"

@@ -74,3 +74,40 @@ class TestNativeSample:
         np.testing.assert_array_equal(out, out2)
         out3, _ = sample_or_pad_native(pts, 30, seed=8)
         assert not np.array_equal(out, out3)
+
+
+class TestNativeCellSort:
+    def test_matches_numpy_stable_argsort(self, rng):
+        from lmsu_tpu.data.native import sort_points_by_cell_native
+        from lmsu_tpu.data.rasterize import bev_cell_key
+        if sort_points_by_cell_native(
+                np.zeros((1, 4), np.float32), (4, 4),
+                (-1., 1., -1., 1.)) is None:
+            import pytest
+            pytest.skip("native lib not built")
+        pts = rng.normal(0, 30, (5000, 4)).astype(np.float32)
+        pv = rng.uniform(size=5000) > 0.2
+        pc6 = (-50., -50., -5., 50., 50., 3.)
+        out, vout = sort_points_by_cell_native(
+            pts, (64, 64), (-50., 50., -50., 50.), pv)
+        key = bev_cell_key(pts, (64, 64), pc6, pv)
+        order = np.argsort(key, kind="stable")
+        np.testing.assert_array_equal(out, pts[order])
+        np.testing.assert_array_equal(vout, pv[order])
+
+    def test_point_sorter_uses_same_semantics_without_native(self, rng,
+                                                             monkeypatch):
+        """make_point_sorter's native and numpy paths agree."""
+        from lmsu_tpu.data import native as native_mod
+        from lmsu_tpu.data.rasterize import make_point_sorter
+        pc6 = (-50., -50., -5., 50., 50., 3.)
+        sorter = make_point_sorter((8, 8), pc6)
+        pts = rng.normal(0, 30, (200, 4)).astype(np.float32)
+        pv = rng.uniform(size=200) > 0.5
+        sample = {"points": pts, "point_valid": pv}
+        a = sorter(dict(sample))
+        monkeypatch.setattr(native_mod, "_load", lambda: None)
+        monkeypatch.setattr(native_mod, "_lib", None, raising=False)
+        b = sorter(dict(sample))
+        np.testing.assert_array_equal(a["points"], b["points"])
+        np.testing.assert_array_equal(a["point_valid"], b["point_valid"])
