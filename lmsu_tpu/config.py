@@ -105,8 +105,9 @@ class ModelConfig:
     camera_fpn_stages: Optional[Tuple[str, ...]] = ("stage3", "stage4", "stage5")
     output_mode: str = "same"  # "same" | "x4"
     # Route the weighted-fusion gate through the fused Pallas kernel
-    # (ops/fusion_pallas.py) instead of the XLA ops. Single-chip only
-    # (GSPMD cannot partition Mosaic custom calls).
+    # (ops/fusion_pallas.py) instead of the XLA ops. Mesh-compatible: a
+    # custom_partitioning batch rule runs the kernel per-shard under a
+    # data-sharded step (tests/test_pallas.py::TestFusionGateOnMesh).
     use_pallas_fusion: bool = False
     camera: CameraEncoderConfig = field(default_factory=CameraEncoderConfig)
     lidar: LidarEncoderConfig = field(default_factory=LidarEncoderConfig)

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 _TILE_M = 512
 
@@ -91,15 +93,48 @@ def _gate_forward(cam, lid, w1, b1, w2, b2):
     return out[:m].reshape(orig_shape)
 
 
+# -- GSPMD batch-partitioning rule (pattern: ops/voxelize_pallas.py): the
+# gate is embarrassingly batch-parallel (independent per BEV position), so
+# under a data-sharded step each device runs the kernel on its own batch
+# shard with the weights replicated. The custom-VJP backward is plain jnp
+# and partitions natively.
+
+def _gate_batch_axis(shapes):
+    spec = shapes[0].sharding.spec
+    return spec[0] if len(spec) else None
+
+
+def _gate_infer(mesh, shapes, result_shape):
+    return NamedSharding(mesh, P(_gate_batch_axis(shapes), None, None, None))
+
+
+def _gate_partition(mesh, shapes, result_shape):
+    b = _gate_batch_axis(shapes)
+    rep = NamedSharding(mesh, P())
+    return (mesh, _gate_forward,
+            NamedSharding(mesh, P(b, None, None, None)),
+            (NamedSharding(mesh, P(b, None, None, None)),
+             NamedSharding(mesh, P(b, None, None, None)),
+             rep, rep, rep, rep))
+
+
+_gate_forward_partitioned = custom_partitioning(_gate_forward)
+_gate_forward_partitioned.def_partition(
+    infer_sharding_from_operands=_gate_infer,
+    partition=_gate_partition,
+    sharding_rule="b h w c, b h w c, e f g k, l, m n o p, q -> b h w c")
+
+
 @jax.custom_vjp
 def weighted_fusion_gate(cam, lid, w1, b1, w2, b2):
     """Fused gate; numerically equals the unfused path in models/fusion.py
-    (equivalence covered by tests/test_pallas.py)."""
-    return _gate_forward(cam, lid, w1, b1, w2, b2)
+    (equivalence covered by tests/test_pallas.py). Mesh-compatible via the
+    batch partitioning rule above."""
+    return _gate_forward_partitioned(cam, lid, w1, b1, w2, b2)
 
 
 def _gate_fwd(cam, lid, w1, b1, w2, b2):
-    out = _gate_forward(cam, lid, w1, b1, w2, b2)
+    out = _gate_forward_partitioned(cam, lid, w1, b1, w2, b2)
     return out, (cam, lid, w1, b1, w2, b2)
 
 

@@ -254,3 +254,55 @@ class TestKDTotalLossFused:
         for k in parts_a:
             np.testing.assert_allclose(float(parts_a[k]), float(parts_b[k]),
                                        rtol=1e-5, err_msg=k)
+
+
+class TestFusionGateOnMesh:
+    """The fused weighted-fusion gate under a data-sharded jit (closing the
+    last batch-parallel kernel's single-chip caveat)."""
+
+    def test_sharded_gate_matches_unfused(self, rng):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from lmsu_tpu.ops.fusion_pallas import weighted_fusion_gate
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        dsh = NamedSharding(mesh, P("data"))
+        rep = NamedSharding(mesh, P())
+        B, H, W, C = 8, 4, 4, 16
+        cam = jnp.asarray(rng.normal(0, 1, (B, H, W, C)).astype(np.float32))
+        lid = jnp.asarray(rng.normal(0, 1, (B, H, W, C)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(0, .1, (1, 1, 2 * C, C)).astype(np.float32))
+        b1 = jnp.asarray(rng.normal(0, .1, (C,)).astype(np.float32))
+        w2 = jnp.asarray(rng.normal(0, .1, (1, 1, C, 2)).astype(np.float32))
+        b2 = jnp.asarray(rng.normal(0, .1, (2,)).astype(np.float32))
+        f = jax.jit(weighted_fusion_gate,
+                    in_shardings=(dsh, dsh, rep, rep, rep, rep),
+                    out_shardings=dsh)
+        got = f(jax.device_put(cam, dsh), jax.device_put(lid, dsh),
+                jax.device_put(w1, rep), jax.device_put(b1, rep),
+                jax.device_put(w2, rep), jax.device_put(b2, rep))
+        assert len(got.sharding.device_set) == 8
+        want = TestWeightedFusionGate()._ref_gate(cam, lid, w1, b1, w2, b2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6)
+
+    def test_sharded_gate_gradient(self, rng):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from lmsu_tpu.ops.fusion_pallas import weighted_fusion_gate
+        mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+        dsh = NamedSharding(mesh, P("data"))
+        B, H, W, C = 8, 2, 2, 8
+        cam = jnp.asarray(rng.normal(0, 1, (B, H, W, C)).astype(np.float32))
+        lid = jnp.asarray(rng.normal(0, 1, (B, H, W, C)).astype(np.float32))
+        w1 = jnp.asarray(rng.normal(0, .1, (1, 1, 2 * C, C)).astype(np.float32))
+        b1 = jnp.asarray(rng.normal(0, .1, (C,)).astype(np.float32))
+        w2 = jnp.asarray(rng.normal(0, .1, (1, 1, C, 2)).astype(np.float32))
+        b2 = jnp.asarray(rng.normal(0, .1, (2,)).astype(np.float32))
+        loss_pl = lambda c: jnp.sum(
+            weighted_fusion_gate(c, lid, w1, b1, w2, b2) ** 2)
+        g_sh = jax.jit(jax.grad(loss_pl), in_shardings=dsh,
+                       out_shardings=dsh)(jax.device_put(cam, dsh))
+        ref = TestWeightedFusionGate()
+        loss_ref = lambda c: jnp.sum(
+            ref._ref_gate(c, lid, w1, b1, w2, b2) ** 2)
+        g_ref = jax.grad(loss_ref)(cam)
+        np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ref),
+                                   atol=1e-4)
