@@ -248,3 +248,31 @@ class TestFactory:
     def test_split_scenes(self):
         tr, va = split_scenes([f"{i:03d}" for i in range(10)], 0.8)
         assert len(tr) == 8 and len(va) == 2 and tr[0] == "000"
+
+
+class TestBatcherSampleTransform:
+    def test_sorted_batches_and_transform_runs_on_workers(self):
+        from lmsu_tpu.config import DataConfig
+        from lmsu_tpu.data import create_datasets
+        from lmsu_tpu.data.pipeline import Batcher
+        from lmsu_tpu.data.rasterize import bev_cell_key, make_point_sorter
+        cfg = DataConfig(dataset="synthetic", synthetic_num_train=6,
+                         synthetic_num_val=2, batch_size=3)
+        train_ds, _ = create_datasets(cfg, verbose=False)
+        pc6 = (-50., -50., -5., 50., 50., 3.)
+        sorter = make_point_sorter((64, 64), pc6)
+        plain = next(iter(Batcher(train_ds, 3)))
+        sorted_b = next(iter(Batcher(train_ds, 3, sample_transform=sorter,
+                                     decode_workers=2)))
+        for row in range(3):
+            pv = sorted_b.get("point_valid")
+            key = bev_cell_key(sorted_b["points"][row], (64, 64), pc6,
+                               None if pv is None else pv[row])
+            assert (np.diff(key) >= 0).all()
+            # Same point multiset per sample; labels/images untouched.
+            np.testing.assert_array_equal(
+                np.sort(plain["points"][row], axis=0),
+                np.sort(sorted_b["points"][row], axis=0))
+        np.testing.assert_array_equal(plain["segmentation"],
+                                      sorted_b["segmentation"])
+        np.testing.assert_array_equal(plain["image"], sorted_b["image"])
