@@ -42,6 +42,15 @@ class Predictor:
         self.config = config
         self.model = create_model(config)
         self.variables = jax.device_put(variables)
+        # The sorted-input scatter kernel's contract is a *pipeline*
+        # property; serving callers shouldn't have to know it. Sort
+        # incoming points on host (native counting sort / numpy fallback)
+        # before dispatch when the config selects that impl.
+        self._sorter = None
+        if config.lidar.scatter_impl == "sorted_pallas":
+            from lmsu_tpu.data.rasterize import make_point_sorter
+            self._sorter = make_point_sorter(config.lidar.grid_size,
+                                             config.lidar.point_cloud_range)
         if freeze_weights:
             const_vars = self.variables
             self._forward = jax.jit(
@@ -87,12 +96,38 @@ class Predictor:
         serving matches training: without it, pad points count as real
         returns at the BEV grid centre.
         """
+        points, point_valid = self._maybe_sort(points, point_valid)
         pv = None if point_valid is None else jnp.asarray(point_valid)
         return self._forward(self.variables, jnp.asarray(images),
                              jnp.asarray(points), pv)
 
+    def _maybe_sort(self, points, point_valid):
+        if self._sorter is None:
+            return points, point_valid
+        pts = np.asarray(points)
+        pv = None if point_valid is None else np.asarray(point_valid)
+        batched = pts.ndim == 3
+        rows = pts if batched else pts[None]
+        pvs = pv if pv is None or batched else pv[None]
+        out_p, out_v = [], []
+        for i in range(rows.shape[0]):
+            s = {"points": rows[i]}
+            if pvs is not None:
+                s["point_valid"] = pvs[i]
+            s = self._sorter(s)
+            out_p.append(s["points"])
+            out_v.append(s.get("point_valid"))
+        pts = np.stack(out_p)
+        if not batched:
+            pts = pts[0]
+        if pv is None:
+            return pts, None
+        pv = np.stack(out_v)
+        return pts, (pv if batched else pv[0])
+
     def predict_mask(self, image, points, point_valid=None) -> np.ndarray:
         """Single frame -> [H, W] int32 class mask."""
+        points, point_valid = self._maybe_sort(points, point_valid)
         images = jnp.asarray(image)[None] if np.ndim(image) == 3 \
             else jnp.asarray(image)
         pts = jnp.asarray(points)[None] if np.ndim(points) == 2 \

@@ -139,3 +139,35 @@ class TestExport:
         pts = rng.normal(0, 20, (1, 100, 4)).astype(np.float32)
         np.testing.assert_allclose(np.asarray(serve(imgs, pts)),
                                    np.asarray(pred(imgs, pts)), atol=1e-5)
+
+
+class TestPredictorSortedScatter:
+    def test_predictor_sorts_for_sorted_pallas(self, rng):
+        """A sorted_pallas Predictor accepts UNSORTED points and matches the
+        default-impl Predictor on them (the host sort is transparent)."""
+        import dataclasses
+        from lmsu_tpu.config import ModelConfig, LidarEncoderConfig, \
+            CameraEncoderConfig
+        from lmsu_tpu.inference import Predictor
+        from lmsu_tpu.models import init_model, create_model
+        cfg = ModelConfig(
+            num_classes=2, fusion_type="minimal", fusion_out_channels=16,
+            camera_fpn_channels=8,
+            camera=CameraEncoderConfig(base_channels=8),
+            lidar=LidarEncoderConfig(feature_dim=16, mlp_dims=(8, 16),
+                                     grid_size=(16, 16)))
+        v = init_model(create_model(cfg), jax.random.PRNGKey(0),
+                       batch_size=1, image_size=(64, 64), num_points=64)
+        img = rng.uniform(0, 1, (1, 64, 64, 3)).astype(np.float32)
+        pts = rng.normal(0, 30, (1, 64, 4)).astype(np.float32)
+        pv = rng.uniform(size=(1, 64)) > 0.3
+        ref = Predictor(cfg, v)
+        srt = Predictor(dataclasses.replace(cfg, lidar=dataclasses.replace(
+            cfg.lidar, scatter_impl="sorted_pallas")), v)
+        a = np.asarray(ref(img, pts, point_valid=pv))
+        b = np.asarray(srt(img, pts, point_valid=pv))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+        # single-frame path too
+        ma = ref.predict_mask(img[0], pts[0], point_valid=pv[0])
+        mb = srt.predict_mask(img[0], pts[0], point_valid=pv[0])
+        np.testing.assert_array_equal(ma, mb)
