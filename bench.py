@@ -315,6 +315,46 @@ def measure_eval_latency(student, s_vars, on_tpu: bool, tiny: bool = False):
     return p50_link, p50_onchip
 
 
+def _init_backend_bounded(timeout_s: float = 900.0):
+    """Initialize the JAX backend with a hard timeout.
+
+    The axon TPU client can hang indefinitely in make_c_api_client when the
+    relay is wedged (observed mid-round-3); a hung bench loses the round's
+    BENCH artifact entirely. Probe jax.devices() on a daemon thread and
+    fall back to CPU (clearly marked in the output) if the backend never
+    comes up — the thread blocked in native code cannot be cancelled, so
+    the CPU fallback runs in THIS process only if jax allows re-init;
+    otherwise exit nonzero with a diagnostic JSON line.
+    """
+    import threading
+    box = {}
+
+    def probe():
+        import jax
+        try:
+            box["devices"] = jax.devices()
+        except Exception as e:  # init failed fast — surface it
+            box["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if t.is_alive():
+        print(json.dumps({
+            "metric": "kd_train_frames_per_sec_per_chip", "value": 0.0,
+            "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"TPU backend init hung > {timeout_s:.0f}s "
+                     "(axon relay down?) — no measurement possible"}))
+        import os
+        os._exit(3)
+    if "error" in box:
+        print(json.dumps({
+            "metric": "kd_train_frames_per_sec_per_chip", "value": 0.0,
+            "unit": "frames/s", "vs_baseline": 0.0,
+            "error": f"backend init failed: {box['error']}"}))
+        raise SystemExit(3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sweep", action="store_true",
@@ -330,6 +370,8 @@ def main() -> None:
                          "bench models (e.g. sorted_pallas; the bench batch "
                          "is pre-sorted by cell when set)")
     args = ap.parse_args()
+
+    _init_backend_bounded()
 
     import jax
     import jax.numpy as jnp
