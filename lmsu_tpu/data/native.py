@@ -26,7 +26,17 @@ def _load() -> Optional[ctypes.CDLL]:
         return _lib
     if not os.path.exists(_LIB_PATH):
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = _declare(ctypes.CDLL(_LIB_PATH))
+    except (OSError, AttributeError):
+        # Unloadable or stale build (missing symbol): behave as lib-absent so
+        # every caller takes its numpy fallback instead of crashing.
+        return None
+    _lib = lib
+    return lib
+
+
+def _declare(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.rasterize_bev_first_write.restype = ctypes.c_int64
     lib.rasterize_bev_first_write.argtypes = [
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
@@ -45,7 +55,6 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_uint8)]
-    _lib = lib
     return lib
 
 

@@ -92,12 +92,19 @@ def _fwd_kernel(starts_ref, idx_ref, feat_ref, out_ref, feat32_ref, *,
     ones = jnp.ones((cw, 1), jnp.float32)
 
     for t in range(ntiles):
-        w0 = starts_ref[b, t]
+        # Align the span start down to the f32 sublane count: Mosaic requires
+        # dynamic dim-0 vector.load offsets provably 8-aligned once C spans
+        # multiple lane tiles (C=256 failed to compile unaligned). The up-to-7
+        # foreign leading points this pulls in belong to earlier tiles: their
+        # rows fall outside [0, _TILE) so the one-hot never matches, and the
+        # segmented max only merges equal cell ids — both directions ignore
+        # them.
+        w0 = (starts_ref[b, t] // 8) * 8
         span = starts_ref[b, t + 1] - w0
         nch = _cdiv(span, cw)
 
         def chunk(j, acc, w0=w0, t=t):
-            offs = w0 + j * cw
+            offs = pl.multiple_of(w0 + j * cw, 8)
             idxc = idx_ref[pl.ds(offs, cw), :]
             x = feat32_ref[pl.ds(offs, cw), :]
             x = _segmented_chunk_max(x, idxc)
@@ -134,7 +141,9 @@ def _bwd_kernel(starts_ref, idx_ref, feat_ref, out_g_ref, dout_ref,
     oh_iota = jax.lax.broadcasted_iota(jnp.int32, (cw, _TILE), 1)
 
     for t in range(ntiles):
-        w0 = starts_ref[b, t]
+        # Span start aligned down to the f32 sublane count (same Mosaic
+        # requirement as the forward; see _fwd_kernel).
+        w0 = (starts_ref[b, t] // 8) * 8
         span = starts_ref[b, t + 1] - w0
         nch = _cdiv(span, cw)
         rows_t = min(_TILE, hw - t * _TILE)
@@ -143,7 +152,7 @@ def _bwd_kernel(starts_ref, idx_ref, feat_ref, out_g_ref, dout_ref,
             og = jnp.pad(og, ((0, _TILE - rows_t), (0, 0)))
 
         def gather_winner(j, w0=w0, t=t, og=og):
-            offs = w0 + j * cw
+            offs = pl.multiple_of(w0 + j * cw, 8)
             idxc = idx_ref[pl.ds(offs, cw), :]
             featc = feat32_ref[pl.ds(offs, cw), :]
             oh = (oh_iota == (idxc - t * _TILE)).astype(jnp.float32)
@@ -171,10 +180,12 @@ def _bwd_kernel(starts_ref, idx_ref, feat_ref, out_g_ref, dout_ref,
                 oh, counts, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             d = winner * gcell / jnp.maximum(cnt, 1.0)
-            # Chunk tails overrun into later tiles' points; those rows are
-            # rewritten (with their true values) by the owning tile, which
-            # runs later in this ascending loop.
-            dsc_ref[pl.ds(offs, cw), :] = d
+            # Chunks overrun into neighbouring tiles' points (tails always;
+            # heads too now that starts are aligned down). Foreign rows
+            # contribute exactly 0 (their one-hot row is all-zero, so
+            # gcell=0 -> d=0), so ACCUMULATING is safe in every order while
+            # a plain store would clobber the owning tile's earlier write.
+            dsc_ref[pl.ds(offs, cw), :] = dsc_ref[pl.ds(offs, cw), :] + d
             return 0
 
         jax.lax.fori_loop(0, nch, write_pass, 0)
