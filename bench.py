@@ -19,6 +19,14 @@ cached teacher outputs are exact, and the step is a measured ~24% faster
 critical path — required when augmentation makes teacher inputs per-step)
 is measured too and reported in `detail`.
 
+On TPU the models default to `scatter_impl="sorted_pallas"` (round 3): the
+sorted-input MXU scatter kernel (ops/scatter_sorted_pallas.py) beats XLA's
+scatter on the training path (fwd+bwd 3.69 vs 8.17 ms isolated; cached
+step 28.94 vs 32.3 ms end-to-end = 1105.8 vs 991.8 frames/s). Its input
+contract (points pre-sorted by BEV cell) costs 59 us/sample on the host
+decode workers (BASELINE.md) — the bench pre-sorts its fixed batch the
+same way.
+
 Usage:
   python bench.py            # headline: best measured batch size (see sweep)
   python bench.py --sweep    # full B in {32,64,128,256} sweep, prints table
@@ -367,8 +375,11 @@ def main() -> None:
                          " — NOT a comparable throughput number")
     ap.add_argument("--scatter-impl", default=None,
                     help="override LidarEncoderConfig.scatter_impl for the "
-                         "bench models (e.g. sorted_pallas; the bench batch "
-                         "is pre-sorted by cell when set)")
+                         "bench models (the bench batch is pre-sorted by "
+                         "cell for sorted_pallas). Default on TPU: "
+                         "sorted_pallas — the measured headline config "
+                         "(docs/scatter_shootout_v5e_b32.json; pass 'xla' "
+                         "for the portable default path)")
     args = ap.parse_args()
 
     _init_backend_bounded()
@@ -377,6 +388,13 @@ def main() -> None:
     import jax.numpy as jnp
 
     on_tpu = jax.default_backend() not in ("cpu",)
+    if args.scatter_impl is None and on_tpu and not args.tiny:
+        # Headline config (round 3): the sorted-input MXU scatter kernel —
+        # fwd+bwd 3.69 vs 8.17 ms isolated, cached-teacher step 1105.8 vs
+        # 991.8 frames/s end-to-end. Training pays for the input contract
+        # with a 59 us/sample host counting sort riding the decode workers
+        # (BASELINE.md), which the bench mirrors by pre-sorting its batch.
+        args.scatter_impl = "sorted_pallas"
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     kind = jax.devices()[0].device_kind
     print(f"backend={jax.default_backend()} devices={jax.devices()} "
