@@ -300,6 +300,59 @@ def main():
             measure(f"{sname}_fwd+bwd", sc_fwdbwd, jnp.zeros((), jnp.float32),
                     n, results)
 
+    # --- LiDAR encoder (student width) under both scatter impls, and the
+    # full student fwd+bwd under the round-3 headline config
+    # (scatter_impl="sorted_pallas") — explains the benched 28.94 ms step.
+    import dataclasses as _dc
+
+    from lmsu_tpu.config import LidarEncoderConfig
+    from lmsu_tpu.models.lidar_encoder import SpatialLiDAREncoder
+    from lmsu_tpu.ops.losses import weighted_cross_entropy
+    cw = jnp.asarray([0.4, 3.5], jnp.float32)
+    # Pre-sorted points (the sorted-scatter input contract; `order` above is
+    # the same cell-id key the host pipeline sorts by).
+    points_s = jnp.asarray(
+        np.take_along_axis(np.asarray(points), order[..., None], 1))
+
+    for lname, impl, pin in [("lidar_fwdbwd_xla", "xla", points),
+                             ("lidar_fwdbwd_sorted", "sorted_pallas",
+                              points_s)]:
+        if enabled(lname):
+            lenc = SpatialLiDAREncoder(
+                LidarEncoderConfig(scatter_impl=impl), dtype=dtype)
+            l_vars = lenc.init(jax.random.PRNGKey(2), pin[:1], train=False)
+
+            def l_step(params, lenc=lenc, l_vars=l_vars, pin=pin):
+                def loss_fn(p):
+                    out, _ = lenc.apply(
+                        {"params": p, "batch_stats": l_vars["batch_stats"]},
+                        pin, train=True, mutable=["batch_stats"])
+                    return jnp.sum(jnp.square(out.astype(jnp.float32)))
+                g = jax.grad(loss_fn)(params)
+                return jax.tree_util.tree_map(
+                    lambda a, b: a - 1e-7 * b, params, g)
+            measure(lname, l_step, l_vars["params"], n, results)
+
+    if enabled("student_fwdbwd_sorted"):
+        s_cfg_sorted = student_cfg.replace(
+            lidar=_dc.replace(student_cfg.lidar,
+                              scatter_impl="sorted_pallas"))
+        student_s = create_model(s_cfg_sorted)
+
+        def s_step_sorted(params):
+            def loss_fn(p):
+                logits, _ = student_s.apply(
+                    {"params": p, "batch_stats": s_vars["batch_stats"]},
+                    images, points_s, train=True, mutable=["batch_stats"])
+                return weighted_cross_entropy(logits, labels,
+                                              class_weights=cw,
+                                              ignore_index=-1)
+            g = jax.grad(loss_fn)(params)
+            return jax.tree_util.tree_map(
+                lambda a, b: a - 1e-7 * b, params, g)
+        measure("student_full_fwd+bwd_sorted", s_step_sorted,
+                s_vars["params"], n, results)
+
     with open(args.out, "w") as f:
         json.dump({"batch": B, "dtype": dtype.__name__, "iters": n,
                    "results": results}, f, indent=1)

@@ -36,6 +36,12 @@ def main(argv=None) -> float:
     p.add_argument("--alpha-kl", type=float, default=0.5)
     p.add_argument("--beta-feature", type=float, default=0.5)
     p.add_argument("--teacher-width", type=float, default=2.0)
+    p.add_argument("--teacher-lidar-encoder", default=None,
+                   choices=["spatial", "pointpillars"],
+                   help="teacher LiDAR encoder when it differs from the "
+                        "student's (cross-architecture KD: both encoders "
+                        "emit [B,H,W,C] BEV maps, so the learned feature "
+                        "projections are encoder-agnostic)")
     p.add_argument("--use-pallas-kd", action="store_true")
     p.add_argument("--cache-teacher", action="store_true",
                    help="precompute frozen-teacher outputs once (HBM cache)")
@@ -55,9 +61,13 @@ def main(argv=None) -> float:
     cfg = apply_overrides(cfg, args)
     cfg = cfg.replace(train=dataclasses.replace(cfg.train, kd=kd))
 
+    tcfg_model = teacher_config(cfg.model, args.teacher_width)
+    if args.teacher_lidar_encoder is not None:
+        tcfg_model = tcfg_model.replace(lidar=dataclasses.replace(
+            tcfg_model.lidar, encoder_type=args.teacher_lidar_encoder))
+
     teacher_vars = None
     if args.train_teacher:
-        tcfg_model = teacher_config(cfg.model, args.teacher_width)
         tcfg = cfg.replace(
             model=tcfg_model,
             train=dataclasses.replace(
@@ -79,7 +89,8 @@ def main(argv=None) -> float:
     print("=== Distilling student ===")
     train_loader, val_loader = build_loaders(cfg)
     trainer = DistillationTrainer(cfg, train_loader, val_loader,
-                                  teacher_variables=teacher_vars)
+                                  teacher_variables=teacher_vars,
+                                  teacher_model_config=tcfg_model)
     start_epoch = maybe_resume(trainer, cfg, args.resume)
     best = trainer.train(start_epoch)
     print(f"Student best val mIoU: {best:.4f}")

@@ -211,3 +211,34 @@ class TestDistillationE2E:
         loss, metrics = trainer.validate()
         assert np.isfinite(loss)
         assert 0.0 <= metrics["miou"] <= 1.0
+
+
+class TestCrossArchKD:
+    def test_spatial_teacher_pointpillars_student(self, tmp_path):
+        """Heterogeneous KD: the intermediates-taps contract is
+        encoder-agnostic (every LiDAR encoder emits [B,H,W,C] BEV maps),
+        so a spatial-encoder teacher can distill into a PointPillars
+        student — exposed as scripts/train_distill.py
+        --teacher-lidar-encoder."""
+        cfg = _tiny_cfg(tmp_path)
+        cfg = cfg.replace(
+            model=cfg.model.replace(lidar=dataclasses.replace(
+                cfg.model.lidar, encoder_type="pointpillars")),
+            train=dataclasses.replace(cfg.train, kd=dataclasses.replace(
+                cfg.train.kd,
+                feature_taps=("camera_feat", "lidar_feat", "post_fusion"))))
+        tcfg = teacher_config(cfg.model, 2.0)
+        tcfg = tcfg.replace(lidar=dataclasses.replace(
+            tcfg.lidar, encoder_type="spatial"))
+        assert tcfg.lidar.encoder_type != cfg.model.lidar.encoder_type
+        train_ds, val_ds = create_datasets(cfg.data)
+        trainer = DistillationTrainer(
+            cfg, make_loader(train_ds, 8, shuffle=True),
+            make_loader(val_ds, 8, shuffle=False),
+            teacher_model_config=tcfg)
+        loss0, _ = trainer.train_epoch()
+        parts = trainer.last_loss_parts
+        assert set(parts) == {"ce", "kl", "feature_mse", "total"}
+        assert all(np.isfinite(v) for v in parts.values())
+        loss1, _ = trainer.train_epoch()
+        assert loss1 < loss0
