@@ -98,3 +98,17 @@ def test_kd_compression_gap_positive_at_every_width():
         prev_params = row["params"]
         assert abs((row["student_kd"] - row["student"])
                    - row["kd_gap"]) < 1e-3
+
+
+def test_kd_crossarch_paired_gaps_consistent():
+    d = _load("kd_crossarch_results.json")
+    assert d["teacher_lidar_encoder"] == "spatial"
+    assert d["student_lidar_encoder"] == "pointpillars"
+    arms = ("teacher_spatial", "pp_student", "pp_student_kd")
+    for s, row in d["per_seed"].items():
+        assert set(arms) <= set(row)
+        gap = row["pp_student_kd"] - row["pp_student"]
+        assert abs(gap - d["kd_gap_per_seed"][s]) < 1e-3
+    mean_gap = sum(d["kd_gap_per_seed"].values()) / len(d["per_seed"])
+    assert abs(mean_gap - d["kd_gap_mean"]) < 1e-3
+    assert d["kd_lift_every_seed"] == (min(d["kd_gap_per_seed"].values()) > 0)
