@@ -82,35 +82,44 @@ def _segmented_chunk_max(x, idxc):
     return x
 
 
-def _fwd_kernel(starts_ref, idx_ref, feat_ref, out_ref, feat32_ref, *,
-                ntiles: int, hw: int, out_dtype):
+def _align(dtype) -> int:
+    """Dynamic dim-0 vector.load offsets must be provably aligned to the
+    dtype's sublane tile once C spans multiple lane tiles (C=256 failed to
+    compile unaligned on real Mosaic): 8 rows for 32-bit, 16 for 16-bit."""
+    return 8 if jnp.dtype(dtype).itemsize >= 4 else 16
+
+
+def _fwd_kernel(starts_ref, idx_ref, feat_ref, out_ref, *,
+                ntiles: int, hw: int, out_dtype, align: int):
     b = pl.program_id(0)
     cw = _CW
-    feat32_ref[:] = feat_ref[:].astype(jnp.float32)
+    fdt = feat_ref.dtype
     iota_cw = jax.lax.broadcasted_iota(jnp.int32, (cw, 1), 0)
     oh_iota = jax.lax.broadcasted_iota(jnp.int32, (cw, _TILE), 1)
-    ones = jnp.ones((cw, 1), jnp.float32)
+    ones = jnp.ones((cw, 1), fdt)
 
     for t in range(ntiles):
-        # Align the span start down to the f32 sublane count: Mosaic requires
-        # dynamic dim-0 vector.load offsets provably 8-aligned once C spans
-        # multiple lane tiles (C=256 failed to compile unaligned). The up-to-7
-        # foreign leading points this pulls in belong to earlier tiles: their
-        # rows fall outside [0, _TILE) so the one-hot never matches, and the
-        # segmented max only merges equal cell ids — both directions ignore
-        # them.
-        w0 = (starts_ref[b, t] // 8) * 8
+        # Align the span start down to the dtype's sublane count (see
+        # _align). The up-to-(align-1) foreign leading points this pulls in
+        # belong to earlier tiles: their rows fall outside [0, _TILE) so the
+        # one-hot never matches, and the segmented max only merges equal
+        # cell ids — both directions ignore them. Features are read at
+        # their native dtype (bf16 in production): max/select only move
+        # values, and the one-hot placement matmuls accumulate in f32, so
+        # results are bit-identical to an f32-scratch variant while the
+        # roll-max scan touches half the vector registers.
+        w0 = (starts_ref[b, t] // align) * align
         span = starts_ref[b, t + 1] - w0
         nch = _cdiv(span, cw)
 
         def chunk(j, acc, w0=w0, t=t):
-            offs = pl.multiple_of(w0 + j * cw, 8)
+            offs = pl.multiple_of(w0 + j * cw, align)
             idxc = idx_ref[pl.ds(offs, cw), :]
-            x = feat32_ref[pl.ds(offs, cw), :]
+            x = feat_ref[pl.ds(offs, cw), :]
             x = _segmented_chunk_max(x, idxc)
             last = (idxc != jnp.roll(idxc, -1, axis=0)) | (iota_cw == cw - 1)
             rows = idxc - t * _TILE
-            oh = ((oh_iota == rows) & last).astype(jnp.float32)
+            oh = ((oh_iota == rows) & last).astype(fdt)
             cand = jax.lax.dot_general(
                 oh, x, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -119,7 +128,7 @@ def _fwd_kernel(starts_ref, idx_ref, feat_ref, out_ref, feat32_ref, *,
                 preferred_element_type=jnp.float32)
             return jnp.where(hits > 0, jnp.maximum(acc, cand), acc)
 
-        acc0 = jnp.full((_TILE, feat32_ref.shape[1]), -jnp.inf, jnp.float32)
+        acc0 = jnp.full((_TILE, feat_ref.shape[1]), -jnp.inf, jnp.float32)
         acc = jax.lax.fori_loop(0, nch, chunk, acc0)
         acc = jnp.where(jnp.isneginf(acc), 0.0, acc).astype(out_dtype)
         rows_t = min(_TILE, hw - t * _TILE)
@@ -127,7 +136,7 @@ def _fwd_kernel(starts_ref, idx_ref, feat_ref, out_ref, feat32_ref, *,
 
 
 def _bwd_kernel(starts_ref, idx_ref, feat_ref, out_g_ref, dout_ref,
-                feat32_ref, dsc_ref, *, ntiles: int, hw: int, n: int):
+                dsc_ref, *, ntiles: int, hw: int, n: int, align: int):
     """d_feat[p] = winner[p] * g[cell[p]] / ties[cell[p]] (dense-VJP parity).
 
     out_g is [hw, 2C]: the forward output and the cotangent, concatenated on
@@ -135,15 +144,14 @@ def _bwd_kernel(starts_ref, idx_ref, feat_ref, out_g_ref, dout_ref,
     """
     b = pl.program_id(0)
     cw = _CW
-    C = feat32_ref.shape[1]
-    feat32_ref[:] = feat_ref[:].astype(jnp.float32)
+    C = feat_ref.shape[1]
     dsc_ref[:] = jnp.zeros_like(dsc_ref)
     oh_iota = jax.lax.broadcasted_iota(jnp.int32, (cw, _TILE), 1)
 
     for t in range(ntiles):
-        # Span start aligned down to the f32 sublane count (same Mosaic
-        # requirement as the forward; see _fwd_kernel).
-        w0 = (starts_ref[b, t] // 8) * 8
+        # Span start aligned down to the dtype's sublane count (same Mosaic
+        # requirement as the forward; see _align).
+        w0 = (starts_ref[b, t] // align) * align
         span = starts_ref[b, t + 1] - w0
         nch = _cdiv(span, cw)
         rows_t = min(_TILE, hw - t * _TILE)
@@ -152,9 +160,9 @@ def _bwd_kernel(starts_ref, idx_ref, feat_ref, out_g_ref, dout_ref,
             og = jnp.pad(og, ((0, _TILE - rows_t), (0, 0)))
 
         def gather_winner(j, w0=w0, t=t, og=og):
-            offs = pl.multiple_of(w0 + j * cw, 8)
+            offs = pl.multiple_of(w0 + j * cw, align)
             idxc = idx_ref[pl.ds(offs, cw), :]
-            featc = feat32_ref[pl.ds(offs, cw), :]
+            featc = feat_ref[pl.ds(offs, cw), :].astype(jnp.float32)
             oh = (oh_iota == (idxc - t * _TILE)).astype(jnp.float32)
             cm_g = jax.lax.dot_general(
                 oh, og, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -218,7 +226,8 @@ def _forward(features, flat_idx, valid, grid_size):
     interpret = jax.default_backend() == "cpu"
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, ntiles=ntiles, hw=hw,
-                          out_dtype=features.dtype),
+                          out_dtype=features.dtype,
+                          align=_align(features.dtype)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
@@ -230,7 +239,6 @@ def _forward(features, flat_idx, valid, grid_size):
             ],
             out_specs=pl.BlockSpec((None, hw, C), lambda b, starts: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((NP, C), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((B, hw, C), features.dtype),
         compiler_params=_COMPILER_PARAMS,
@@ -250,7 +258,8 @@ def _backward(features, flat_idx, valid, out, g, grid_size):
         axis=-1)
     interpret = jax.default_backend() == "cpu"
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, ntiles=ntiles, hw=hw, n=N),
+        functools.partial(_bwd_kernel, ntiles=ntiles, hw=hw, n=N,
+                          align=_align(features.dtype)),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),
@@ -264,8 +273,7 @@ def _backward(features, flat_idx, valid, out, g, grid_size):
             ],
             out_specs=pl.BlockSpec((None, N, C), lambda b, starts: (b, 0, 0),
                                    memory_space=pltpu.VMEM),
-            scratch_shapes=[pltpu.VMEM((NP, C), jnp.float32),
-                            pltpu.VMEM((NP, C), jnp.float32)],
+            scratch_shapes=[pltpu.VMEM((NP, C), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((B, N, C), features.dtype),
         compiler_params=_COMPILER_PARAMS,
