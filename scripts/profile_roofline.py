@@ -333,11 +333,19 @@ def main():
                     lambda a, b: a - 1e-7 * b, params, g)
             measure(lname, l_step, l_vars["params"], n, results)
 
+    s_cfg_sorted = student_cfg.replace(
+        lidar=_dc.replace(student_cfg.lidar, scatter_impl="sorted_pallas"))
+    student_s = create_model(s_cfg_sorted)
+
+    if enabled("student_fwd_sorted"):
+        def s_fwd_sorted(carry):
+            out = student_s.apply(s_vars, images + carry, points_s,
+                                  train=False)
+            return _chain_scalar(out)
+        measure("student_full_fwd_sorted(eval)", s_fwd_sorted,
+                jnp.zeros((), jnp.float32), n, results)
+
     if enabled("student_fwdbwd_sorted"):
-        s_cfg_sorted = student_cfg.replace(
-            lidar=_dc.replace(student_cfg.lidar,
-                              scatter_impl="sorted_pallas"))
-        student_s = create_model(s_cfg_sorted)
 
         def s_step_sorted(params):
             def loss_fn(p):
