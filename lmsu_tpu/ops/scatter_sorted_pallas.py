@@ -30,6 +30,14 @@ The backward pass uses the same trick in both directions: gathers of
 scatter-add is the transposed contraction — bit-identical semantics to the
 shared dense VJP in ops/scatter.py (ties split the cotangent evenly).
 
+Precision: unlike ordinary matmuls, these contractions implement EXACT
+selection/counting semantics, so they must not inherit the TPU MXU's
+default one-pass-bf16 handling of f32 operands (that silently broke the
+f32 path: wrong forward values and a backward whose winner-equality never
+fired). Value-carrying dots therefore pass an explicit `precision=`
+(DEFAULT for bf16 features — natively exact — HIGHEST for f32), and the
+tie-count gather is always HIGHEST; see _value_precision.
+
 Input contract: `where(valid, flat_idx, H*W)` must be non-decreasing along
 the point axis of every batch row (invalid/out-of-range points sorted last).
 `sort_points_by_bev_cell` below produces it on device; the data pipeline's
@@ -89,11 +97,30 @@ def _align(dtype) -> int:
     return 8 if jnp.dtype(dtype).itemsize >= 4 else 16
 
 
+def _value_precision(dtype):
+    """Precision for the matmuls whose RESULTS are compared for equality.
+
+    The placement matmuls here are exact SELECTIONS, not approximate
+    contractions: the forward's output and the backward's gathered cell-max
+    must reproduce feature values bit-exactly, or the backward's winner
+    test (featc == cellmax) silently fails. The TPU MXU at DEFAULT
+    precision truncates f32 operands to one bf16 pass, which broke exactly
+    that (measured on v5e: f32 fwd off by ~1e-2 and ~all-zero gradients at
+    the production 64x64 grid; the CPU test suite never saw it because CPU
+    f32 dots are exact at any precision). bf16 operands are consumed by
+    the MXU natively, so DEFAULT stays exact AND fast there; f32 operands
+    need HIGHEST (multi-pass) to round-trip values exactly.
+    """
+    return (jax.lax.Precision.DEFAULT
+            if jnp.dtype(dtype).itemsize < 4 else jax.lax.Precision.HIGHEST)
+
+
 def _fwd_kernel(starts_ref, idx_ref, feat_ref, out_ref, *,
                 ntiles: int, hw: int, out_dtype, align: int):
     b = pl.program_id(0)
     cw = _CW
     fdt = feat_ref.dtype
+    vprec = _value_precision(fdt)
     iota_cw = jax.lax.broadcasted_iota(jnp.int32, (cw, 1), 0)
     oh_iota = jax.lax.broadcasted_iota(jnp.int32, (cw, _TILE), 1)
     ones = jnp.ones((cw, 1), fdt)
@@ -122,7 +149,7 @@ def _fwd_kernel(starts_ref, idx_ref, feat_ref, out_ref, *,
             oh = ((oh_iota == rows) & last).astype(fdt)
             cand = jax.lax.dot_general(
                 oh, x, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=vprec)
             hits = jax.lax.dot_general(
                 oh, ones, dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
@@ -145,6 +172,8 @@ def _bwd_kernel(starts_ref, idx_ref, feat_ref, out_g_ref, dout_ref,
     b = pl.program_id(0)
     cw = _CW
     C = feat_ref.shape[1]
+    fdt = feat_ref.dtype
+    vprec = _value_precision(fdt)
     dsc_ref[:] = jnp.zeros_like(dsc_ref)
     oh_iota = jax.lax.broadcasted_iota(jnp.int32, (cw, _TILE), 1)
 
@@ -155,7 +184,10 @@ def _bwd_kernel(starts_ref, idx_ref, feat_ref, out_g_ref, dout_ref,
         span = starts_ref[b, t + 1] - w0
         nch = _cdiv(span, cw)
         rows_t = min(_TILE, hw - t * _TILE)
-        og = out_g_ref[t * _TILE:t * _TILE + rows_t, :].astype(jnp.float32)
+        # og stays at the feature dtype: the placement matmuls below are
+        # pure one-hot SELECTIONS with f32 accumulation, so bf16 inputs
+        # lose nothing and run the MXU at full rate.
+        og = out_g_ref[t * _TILE:t * _TILE + rows_t, :]
         if rows_t < _TILE:
             og = jnp.pad(og, ((0, _TILE - rows_t), (0, 0)))
 
@@ -163,20 +195,26 @@ def _bwd_kernel(starts_ref, idx_ref, feat_ref, out_g_ref, dout_ref,
             offs = pl.multiple_of(w0 + j * cw, align)
             idxc = idx_ref[pl.ds(offs, cw), :]
             featc = feat_ref[pl.ds(offs, cw), :].astype(jnp.float32)
-            oh = (oh_iota == (idxc - t * _TILE)).astype(jnp.float32)
+            oh = (oh_iota == (idxc - t * _TILE))
+            # This gather must reproduce out[cell] exactly (the winner test
+            # below compares it for equality): value precision, see
+            # _value_precision.
             cm_g = jax.lax.dot_general(
-                oh, og, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                oh.astype(fdt), og, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=vprec)
             cellmax, gcell = cm_g[:, :C], cm_g[:, C:]
             # Tail points past the span match no row: oh row is all-zero, so
             # cellmax/gcell are 0 there and their count contribution is 0.
-            winner = (featc == cellmax).astype(jnp.float32)
+            winner = (featc == cellmax)
             return offs, oh, winner, gcell
 
         def count_pass(j, counts):
+            # 0/1 products accumulated in f32: exact integer counts even
+            # with sub-32-bit matmul inputs.
             _, oh, winner, _ = gather_winner(j)
             return counts + jax.lax.dot_general(
-                oh, winner, dimension_numbers=(((0,), (0,)), ((), ())),
+                oh.astype(fdt), winner.astype(fdt),
+                dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
         counts = jax.lax.fori_loop(
@@ -184,10 +222,27 @@ def _bwd_kernel(starts_ref, idx_ref, feat_ref, out_g_ref, dout_ref,
 
         def write_pass(j, _):
             offs, oh, winner, gcell = gather_winner(j)
-            cnt = jax.lax.dot_general(
-                oh, counts, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            d = winner * gcell / jnp.maximum(cnt, 1.0)
+            # The tie-count gather must be EXACT: `counts` holds integers
+            # up to the span length, beyond bf16's exact range, and the
+            # MXU's default one-pass bf16 handling of f32 operands would
+            # misround counts > 256 (possible in production: duplicated
+            # pad points marked valid all tie in one cell). HIGHEST here
+            # measured +1.4 ms on the whole bwd (6 passes), so instead
+            # split counts into two bf16-exact parts — multiples of 256
+            # (exact for counts < 65536) and a remainder in [0, 255] —
+            # and contract each at DEFAULT: exactly-representable values
+            # survive the truncation, so two one-pass dots are exact.
+            c_hi = jnp.floor(counts * (1.0 / 256.0)) * 256.0
+            c_lo = counts - c_hi
+            ohf = oh.astype(jnp.float32)
+            dn = (((1,), (0,)), ((), ()))
+            cnt = (jax.lax.dot_general(
+                       ohf, c_hi, dimension_numbers=dn,
+                       preferred_element_type=jnp.float32)
+                   + jax.lax.dot_general(
+                       ohf, c_lo, dimension_numbers=dn,
+                       preferred_element_type=jnp.float32))
+            d = winner.astype(jnp.float32) * gcell / jnp.maximum(cnt, 1.0)
             # Chunks overrun into neighbouring tiles' points (tails always;
             # heads too now that starts are aligned down). Foreign rows
             # contribute exactly 0 (their one-hot row is all-zero, so

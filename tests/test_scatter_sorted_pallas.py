@@ -163,6 +163,42 @@ class TestSortHelperAndEncoder:
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+class TestProductionGrid:
+    """Multi-TILE coverage: every other fixture has hw <= 128 (one output
+    tile), but production runs 64x64 = 4096 cells = 32 tiles. This pins the
+    cross-tile span/alignment logic; the TPU-only precision semantics (f32
+    at default matmul precision) are pinned on-chip by
+    scripts/verify_sorted_scatter_tpu.py, which CPU interpret cannot
+    reproduce (CPU f32 dots are exact at any precision)."""
+
+    def test_fwd_bwd_64x64_multi_tile(self, rng):
+        feats, idx, valid, HW = _sorted_data(rng, B=1, N=1500, C=8,
+                                             HW=(64, 64))
+        a = bev_scatter_max(feats, idx, valid, HW)
+        b = bev_scatter_max_sorted_pallas(feats, idx, valid, HW)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        ga = jax.grad(lambda f: jnp.sum(
+            bev_scatter_max(f, idx, valid, HW) ** 2))(feats)
+        gb = jax.grad(lambda f: jnp.sum(
+            bev_scatter_max_sorted_pallas(f, idx, valid, HW) ** 2))(feats)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb),
+                                   atol=1e-6)
+
+    def test_tie_count_beyond_bf16_exact_range(self):
+        # 301 identical points in one cell: the tie count is odd and > 256,
+        # i.e. NOT exactly representable in bf16 — pins that the tie-count
+        # gather contracts at full f32 precision (a one-pass-bf16 MXU
+        # contraction would misround the count and skew the split).
+        B, N, C = 1, 301, 8
+        feats = jnp.ones((B, N, C))
+        idx = jnp.full((B, N), 7, jnp.int32)
+        valid = jnp.ones((B, N), bool)
+        g = jax.grad(lambda f: jnp.sum(
+            bev_scatter_max_sorted_pallas(f, idx, valid, (4, 4))))(feats)
+        np.testing.assert_allclose(np.asarray(g), np.full((B, N, C), 1 / N),
+                                   rtol=1e-6)
+
+
 class TestSortedPallasOnMesh:
     def _mesh(self):
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
