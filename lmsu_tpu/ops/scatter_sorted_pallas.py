@@ -60,7 +60,19 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-_CW = 256  # chunk window (points per placement matmul)
+_CW = 256    # backward chunk window (points per placement matmul)
+_CW_FWD = 256  # forward chunk window, independently tunable (smaller
+# chunks do fewer roll-max passes per point; cross-chunk segments stay
+# exact via the tile accumulator's elementwise max). Must be a multiple of
+# _align(dtype). SWEPT AND CLOSED on v5e (scripts/sweep_sorted_scatter.py,
+# B=32 N=5000 C=128 bf16): 256 is the optimum — fwd ms 2.71 (256) / 3.33
+# (512) / 4.72 (128) / 5.70 (64); per-chunk fori_loop + dynamic-slice
+# overhead dominates, not scan passes.
+_SCAN_EARLY_EXIT = False  # guard each scan pass with lax.cond on "some run
+# exceeds the covered window". MEASURED SLOWER on v5e (fwd 4.00 vs 2.71 ms
+# at cw=256): the per-pass cond breaks Mosaic's pipelining for more than
+# the skipped passes save. Kept (with the equivalence tests) as the
+# documented closure of the data-adaptive-scan idea.
 _TILE = 128  # output cells per tile (MXU-native)
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
 
@@ -76,16 +88,36 @@ def _cdiv(a, b):
 def _segmented_chunk_max(x, idxc):
     """Running same-segment max over a sorted chunk.
 
-    x [CW, C] f32, idxc [CW, 1] int32 (sorted). After log2(CW) doubling
+    x [CW, C], idxc [CW, 1] int32 (sorted). After log2(CW) doubling
     passes, the last in-chunk element of every segment holds the max over
     the segment's in-chunk portion. Circular wrap is safe: equal keys in a
     sorted chunk are one segment, so wrapped merges stay within-segment.
+
+    With _SCAN_EARLY_EXIT the scan stops at the first distance k with no
+    same-cell pair k apart (Hillis-Steele coverage after the k/2 pass is k,
+    so every run <= k is already fully reduced). The check is one compare +
+    any() on the [CW, 1] index column — far cheaper than a [CW, C] pass —
+    and data-adaptive: ~1.2 points/cell (uniform 5000-point clouds on the
+    64x64 grid) needs 2-3 of the log2(CW) passes. The wrap can only
+    false-positive the check when the chunk's first and last cells match,
+    i.e. one giant run that genuinely needs the passes.
     """
+    cw = x.shape[0]
     k = 1
-    while k < x.shape[0]:
+    while k < cw:
         ridx = jnp.roll(idxc, k, axis=0)
-        rx = jnp.roll(x, k, axis=0)
-        x = jnp.where(idxc == ridx, jnp.maximum(x, rx), x)
+
+        def pass_fn(x, ridx=ridx, k=k):
+            return jnp.where(idxc == ridx, jnp.maximum(x, jnp.roll(x, k, 0)),
+                             x)
+
+        if _SCAN_EARLY_EXIT:
+            # The pass at distance k only changes anything if some run
+            # exceeds k (coverage after the k/2 pass is k). The flags are
+            # monotone in k, so each pass guards itself; rolls stay static.
+            x = jax.lax.cond(jnp.any(idxc == ridx), pass_fn, lambda x: x, x)
+        else:
+            x = pass_fn(x)
         k *= 2
     return x
 
@@ -118,7 +150,8 @@ def _value_precision(dtype):
 def _fwd_kernel(starts_ref, idx_ref, feat_ref, out_ref, *,
                 ntiles: int, hw: int, out_dtype, align: int):
     b = pl.program_id(0)
-    cw = _CW
+    cw = _CW_FWD
+    assert cw % align == 0, (cw, align)
     fdt = feat_ref.dtype
     vprec = _value_precision(fdt)
     iota_cw = jax.lax.broadcasted_iota(jnp.int32, (cw, 1), 0)
@@ -260,7 +293,8 @@ def _prep(features, flat_idx, valid, hw):
     """Sentinel-map invalid points, pad to chunk granularity, tile starts."""
     B, N, C = features.shape
     idx_eff = jnp.where(valid, flat_idx, hw).astype(jnp.int32)
-    NP = _round_up(N, _CW) + _CW
+    m = max(_CW, _CW_FWD)
+    NP = _round_up(N, m) + m
     idx_p = jnp.pad(idx_eff, ((0, 0), (0, NP - N)), constant_values=hw)
     feat_p = jnp.pad(features, ((0, 0), (0, NP - N), (0, 0)))
     ntiles = _cdiv(hw, _TILE)

@@ -199,6 +199,36 @@ class TestProductionGrid:
                                    rtol=1e-6)
 
 
+class TestChunkWidthAndScanVariants:
+    """The forward chunk width (_CW_FWD) and the scan early-exit are perf
+    knobs swept on the real chip (scripts/sweep_sorted_scatter.py); every
+    setting must be exactly equivalent. Fixtures force cross-chunk segments
+    (a 100-point run) and multi-chunk spans at every width."""
+
+    @pytest.mark.parametrize("cw_fwd", [64, 128, 256])
+    @pytest.mark.parametrize("early_exit", [True, False])
+    def test_fwd_bwd_equivalent(self, rng, monkeypatch, cw_fwd, early_exit):
+        import lmsu_tpu.ops.scatter_sorted_pallas as mod
+        monkeypatch.setattr(mod, "_CW_FWD", cw_fwd)
+        monkeypatch.setattr(mod, "_SCAN_EARLY_EXIT", early_exit)
+        feats, idx, valid, HW = _sorted_data(rng, B=2, N=500, C=8, HW=(6, 6))
+        # splice in a 100-point single-cell run straddling chunk boundaries
+        idx = idx.at[0, 100:200].set(idx[0, 100])
+        key = jnp.where(valid, idx, HW[0] * HW[1])
+        order = jnp.argsort(key, axis=-1, stable=True)
+        idx = jnp.take_along_axis(idx, order, axis=1)
+        valid = jnp.take_along_axis(valid, order, axis=1)
+        feats = jnp.take_along_axis(feats, order[..., None], axis=1)
+        a = bev_scatter_max(feats, idx, valid, HW)
+        b = mod.bev_scatter_max_sorted_pallas(feats, idx, valid, HW)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        ga = jax.grad(lambda f: jnp.sum(
+            bev_scatter_max(f, idx, valid, HW) ** 2))(feats)
+        gb = jax.grad(lambda f: jnp.sum(
+            mod.bev_scatter_max_sorted_pallas(f, idx, valid, HW) ** 2))(feats)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
+
+
 class TestSortedPallasOnMesh:
     def _mesh(self):
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
