@@ -67,7 +67,7 @@ def bench_shapes(tiny: bool):
 
 def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
                    cached_teacher: bool = False, tiny: bool = False,
-                   scatter_impl: str = None):
+                   scatter_impl: str = None, kd_overrides: dict = None):
     """Returns (run, state, n_iters, (student, s_vars)) where run(state)
     executes n_iters chained KD train steps in one lax.scan dispatch.
 
@@ -116,6 +116,11 @@ def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
     teacher_cfg = teacher_config(student_cfg, 2.0)
     kd = KDConfig(enabled=True, feature_taps=("camera_feat", "lidar_feat",
                                               "post_fusion"))
+    if kd_overrides:
+        # scripts/profile_kd_tail.py ablates loss terms to cost the KD tail;
+        # the official bench never passes this.
+        import dataclasses
+        kd = dataclasses.replace(kd, **kd_overrides)
 
     student = create_model(student_cfg)
     teacher = create_model(teacher_cfg)

@@ -121,8 +121,16 @@ def kd_total_loss(
     """
     ce = weighted_cross_entropy(student_logits, targets, class_weights,
                                 ignore_index)
-    kl = kd_logit_kl(student_logits, teacher_logits, temperature,
-                     sample_weight)
+    # A statically-zero coefficient skips its term entirely: XLA cannot DCE
+    # `0 * kl` (0 * NaN semantics), so without this a CE-only ablation would
+    # still pay the full KL/feature-matching compute and HBM traffic.
+    if isinstance(alpha_kl, (int, float)) and alpha_kl == 0.0:
+        kl = jnp.zeros((), jnp.float32)
+    else:
+        kl = kd_logit_kl(student_logits, teacher_logits, temperature,
+                         sample_weight)
+    if isinstance(beta_feature, (int, float)) and beta_feature == 0.0:
+        feature_taps = ()
     if feature_taps:
         fms = []
         for tap in feature_taps:

@@ -3,8 +3,15 @@
 The reference accumulates a confusion matrix with a Python double loop over
 every pixel on the host (reference: trainer.py:18-26) — measured during the
 survey to rival the model forward itself in wall-clock.  Here the confusion
-matrix is one `bincount` of `t * C + p` per batch, fused into the jitted
-train/eval step, with only a [C, C] int32 transfer per step.
+matrix is one one-hot x one-hot MXU contraction per batch, fused into the
+jitted train/eval step, with only a [C, C] int32 transfer per step.
+
+(A first version used `jnp.bincount` of `t * C + p`; that lowers to a
+scatter-add, which TPUs execute row-serially — measured ~2.4 ms for the
+131k pixels of a B=32 step, i.e. ~8% of the whole benched KD step hiding
+inside "metrics". The contraction form is exact — 0/1 operands survive any
+MXU operand truncation and the f32 accumulator is exact below 2^24 counts
+per entry — and runs in microseconds.)
 
 Matches reference semantics: pixels with target == ignore_index are dropped;
 predictions/targets outside [0, C) are dropped (trainer.py:25).
@@ -31,10 +38,15 @@ def confusion_matrix(
     valid = ((t != ignore_index)
              & (t >= 0) & (t < num_classes)
              & (preds >= 0) & (preds < num_classes))
-    flat = jnp.where(valid, t * num_classes + preds, num_classes * num_classes)
-    counts = jnp.bincount(flat.reshape(-1),
-                          length=num_classes * num_classes + 1)
-    return counts[:-1].reshape(num_classes, num_classes).astype(jnp.int32)
+    c = jnp.arange(num_classes, dtype=jnp.int32)
+    oh_t = ((t[..., None] == c) & valid[..., None]).astype(jnp.float32)
+    oh_p = (preds[..., None] == c).astype(jnp.float32)
+    n = oh_t.size // num_classes
+    cm = jax.lax.dot_general(
+        oh_t.reshape(n, num_classes), oh_p.reshape(n, num_classes),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    return cm.astype(jnp.int32)
 
 
 def iou_from_confusion(confusion: np.ndarray) -> Dict[str, object]:

@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Cost the non-model tail of the benched cached-teacher KD step.
+
+The round-3 breakdown (docs/roofline_r3_sorted_breakdown.json) puts the
+student fwd+bwd at 24.5 ms of the 28.9 ms headline step: a ~4.4 ms tail of
+KD losses (logit KL + feature matching with learned projections), AdamW,
+and the device confusion matrix. This script decomposes that tail by
+ablating loss terms — same construction as the official bench
+(bench.build_kd_bench, cached teacher, sorted_pallas scatter, B=32 bf16),
+all in ONE process (remote compiles are per-process on this host):
+
+  full     : CE + KL + feature matching      (the benched headline step)
+  no_fm    : CE + KL                          -> delta = feature-match cost
+  ce_only  : CE                               -> delta = logit-KL cost
+             (ce_only still pays AdamW + confusion matrix + BN updates)
+
+Zero-coefficient terms are statically skipped in ops/losses.py, so the
+ablations genuinely remove the compute and HBM traffic.
+
+Usage: python scripts/profile_kd_tail.py [--batch 32] [--out FILE]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--out", default="/tmp/kd_tail.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from bench import build_kd_bench
+
+    on_tpu = jax.default_backend() != "cpu"
+    dtype = jnp.bfloat16 if on_tpu else jnp.float32
+    print(f"backend={jax.default_backend()} B={args.batch}", file=sys.stderr)
+
+    variants = [
+        ("full", None),
+        ("no_fm", {"feature_taps": ()}),
+        ("ce_only", {"feature_taps": (), "alpha_kl": 0.0}),
+    ]
+    results = {}
+    for name, overrides in variants:
+        run, state, n_iters, _ = build_kd_bench(
+            args.batch, dtype, cached_teacher=True,
+            scatter_impl="sorted_pallas" if on_tpu else None,
+            kd_overrides=overrides)
+        t0 = time.perf_counter()
+        state, cm, losses = run(state)
+        jax.block_until_ready(losses)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        state, cm, losses = run(state)
+        jax.block_until_ready(losses)
+        ms = (time.perf_counter() - t0) / n_iters * 1e3
+        print(f"{name:8s}: {ms:7.3f} ms/step (compile+warm {compile_s:.0f}s, "
+              f"loss {float(losses[-1]):.4f})", file=sys.stderr)
+        results[name] = round(ms, 3)
+
+    out = {
+        "batch": args.batch, "dtype": str(dtype.__name__),
+        "step_ms": results,
+        "feature_match_ms": round(results["full"] - results["no_fm"], 3),
+        "logit_kl_ms": round(results["no_fm"] - results["ce_only"], 3),
+    }
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -242,6 +242,18 @@ class TestMetrics:
                     expect[ti, pi] += 1
         np.testing.assert_array_equal(cm, expect)
 
+    def test_confusion_exact_at_large_counts(self):
+        # The MXU-contraction form accumulates 0/1 products in f32: exact
+        # below 2^24 per entry. Pin it well beyond int16/bf16 ranges with a
+        # 262,144-pixel single-entry batch.
+        B, H, W = 1, 512, 512
+        logits = np.zeros((B, H, W, 2), np.float32)
+        logits[..., 1] = 1.0
+        targets = np.ones((B, H, W), np.int32)
+        cm = np.asarray(confusion_matrix(jnp.asarray(logits),
+                                         jnp.asarray(targets), 2))
+        np.testing.assert_array_equal(cm, [[0, 0], [0, B * H * W]])
+
     def test_iou_empty_class_counts_as_zero(self):
         cm = np.array([[10, 0], [0, 0]])
         out = iou_from_confusion(cm)
