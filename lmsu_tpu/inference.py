@@ -51,6 +51,10 @@ class Predictor:
             from lmsu_tpu.data.rasterize import make_point_sorter
             self._sorter = make_point_sorter(config.lidar.grid_size,
                                              config.lidar.point_cloud_range)
+        self._freeze_weights = freeze_weights
+        self._build_forwards(freeze_weights)
+
+    def _build_forwards(self, freeze_weights: bool) -> None:
         if freeze_weights:
             const_vars = self.variables
             self._forward = jax.jit(
@@ -68,6 +72,24 @@ class Predictor:
                 lambda v, i, p, pv: jnp.argmax(
                     self.model.apply(v, i, p, train=False, point_valid=pv),
                     axis=-1))
+
+    def quantize(self, calibration_batches) -> None:
+        """Switch this Predictor to int8 (w8a8) serving.
+
+        Runs an eval-mode calibration pass over `calibration_batches`
+        (dicts with "image"/"points"[/"point_valid"], or (image, points[,
+        point_valid]) tuples) recording per-layer activation ranges, then
+        rebuilds the jitted forwards with the "quant_stats" collection in
+        the variables — which flips the eligible 1x1 convolutions to the
+        s8 x s8 -> s32 MXU path (ops/quant.py; models/layers.py ConvBNAct).
+        A handful of batches covering typical inputs suffices (per-tensor
+        absmax calibration). Subsequent export() bakes the quantized graph
+        into the artifact.
+        """
+        self.variables = calibrate_quant(self.model, self.variables,
+                                         calibration_batches,
+                                         sorter=self._maybe_sort)
+        self._build_forwards(self._freeze_weights)
 
     @classmethod
     def from_checkpoint(cls, path: str, config: ModelConfig,
@@ -184,6 +206,39 @@ class Predictor:
                              platforms=platforms)(*specs)
         with open(path, "wb") as f:
             f.write(exp.serialize())
+
+
+def calibrate_quant(model, variables, batches, sorter=None):
+    """Record per-layer activation absmax for int8 serving (ops/quant.py).
+
+    Runs eval-mode forwards with the "quant_stats" collection mutable —
+    each eligible ConvBNAct creates/updates its running absmax — and
+    returns `variables` with the accumulated collection merged in. Feeding
+    the result to apply() serves the int8 path; omitting it serves the
+    original graph (the params are untouched).
+    """
+    fwd = jax.jit(lambda v, i, p, pv: model.apply(
+        v, i, p, train=False, point_valid=pv, mutable=["quant_stats"]))
+    stats = None
+    for batch in batches:
+        if isinstance(batch, dict):
+            img, pts = batch["image"], batch["points"]
+            pv = batch.get("point_valid")
+        else:
+            img, pts = batch[0], batch[1]
+            pv = batch[2] if len(batch) > 2 else None
+        if sorter is not None:
+            pts, pv = sorter(pts, pv)
+        v = {k: x for k, x in variables.items() if k != "quant_stats"}
+        if stats is not None:
+            v["quant_stats"] = stats
+        _, mut = fwd(v, jnp.asarray(img), jnp.asarray(pts),
+                     None if pv is None else jnp.asarray(pv))
+        stats = mut["quant_stats"]
+    if stats is None:
+        raise ValueError("calibrate_quant needs at least one batch")
+    return {**{k: x for k, x in variables.items() if k != "quant_stats"},
+            "quant_stats": jax.device_get(stats)}
 
 
 def load_exported(path: str):

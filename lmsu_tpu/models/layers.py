@@ -36,7 +36,20 @@ def relu6(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class ConvBNAct(nn.Module):
-    """Conv2D + BatchNorm + optional activation."""
+    """Conv2D + BatchNorm + optional activation.
+
+    Serving-side int8 (w8a8) quantization, 1x1/groups=1 convs only, is
+    driven purely by the VARIABLES handed to apply() — no config plumbing
+    (ops/quant.py has the scheme; inference.py::calibrate_quant the entry
+    point):
+
+      * plain variables ........................ exactly the normal path;
+      * eval apply with mutable=["quant_stats"] . calibration: normal math
+        plus a per-instance running absmax of the input activation;
+      * variables CONTAINING "quant_stats" ...... int8 path: BN folded into
+        the kernel, per-Cout weight scales, per-tensor activation scale
+        from the calibrated absmax, s8 x s8 -> s32 MXU contraction.
+    """
 
     features: int
     kernel_size: Tuple[int, int] = (3, 3)
@@ -46,8 +59,32 @@ class ConvBNAct(nn.Module):
     act: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = relu6
     dtype: Any = jnp.float32
 
+    def _int8_call(self, x: jnp.ndarray) -> jnp.ndarray:
+        from lmsu_tpu.ops.ir_fused import fold_bn
+        from lmsu_tpu.ops.quant import int8_pointwise
+        p = self.variables["params"]
+        st = self.variables["batch_stats"]
+        scale, bias = fold_bn(p["bn"]["scale"], p["bn"]["bias"],
+                              st["bn"]["mean"], st["bn"]["var"], 1e-5)
+        if self.use_bias:
+            bias = bias + p["conv"]["bias"] * scale
+        w_folded = (p["conv"]["kernel"][0, 0].astype(jnp.float32)
+                    * scale[None, :].astype(jnp.float32))
+        absmax = self.get_variable("quant_stats", "act_absmax")
+        y = int8_pointwise(x, absmax, w_folded, bias, self.dtype)
+        return self.act(y) if self.act is not None else y
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        quant_ok = (self.kernel_size == (1, 1) and self.groups == 1
+                    and not train and not self.is_initializing())
+        if quant_ok and self.is_mutable_collection("quant_stats"):
+            stat = self.variable("quant_stats", "act_absmax",
+                                 lambda: jnp.zeros((), jnp.float32))
+            stat.value = jnp.maximum(
+                stat.value, jnp.max(jnp.abs(x)).astype(jnp.float32))
+        elif quant_ok and self.has_variable("quant_stats", "act_absmax"):
+            return self._int8_call(x)
         pad = tuple((k // 2, k // 2) for k in self.kernel_size)
         x = nn.Conv(self.features, self.kernel_size, strides=self.strides,
                     padding=pad, feature_group_count=self.groups,
