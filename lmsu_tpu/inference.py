@@ -85,6 +85,11 @@ class Predictor:
         A handful of batches covering typical inputs suffices (per-tensor
         absmax calibration). Subsequent export() bakes the quantized graph
         into the artifact.
+
+        Measured on v5e and CLOSED as a speed lever (ops/quant.py
+        docstring, docs/quant_eval_v5e.json): SLOWER than bf16 at every
+        batch size on this memory-bound model. Opt in only for int8-
+        deployment-contract reasons, not performance.
         """
         self.variables = calibrate_quant(self.model, self.variables,
                                          calibration_batches,

@@ -2,10 +2,20 @@
 
 No reference analog (the reference serves fp32 eager torch); this is the
 TPU-native "lightweight deployment" extension of the framework's serving
-stack: v5e MXUs execute s8 x s8 -> s32 contractions at twice the bf16 rate,
-and int8 activations halve the HBM bytes of the eval forward, which is
-memory-bound (docs/roofline_r3_sorted_breakdown.json: 53-64% of the HBM
-roofline).
+stack: v5e MXUs execute s8 x s8 -> s32 contractions at twice the bf16 rate.
+
+MEASURED CLOSURE (real v5e, docs/quant_eval_v5e.json, scripts/
+profile_quant_eval.py): the int8 path is SLOWER than bf16 on this model —
+B=32 eval fwd 7.67 vs 5.16 ms (0.67x), B=1 1.41 vs 1.06 ms. Structural
+reason: only the pointwise convs quantize while the surrounding tensors
+(depthwise convs, BN, resizes) stay bf16, so no inter-layer HBM traffic is
+saved — each quantized conv ADDS per-element round/clip/cast VPU work on
+its full activation tensor — and the forward runs at 7.5% MFU
+(memory/latency-bound), so the 2x int8 MXU rate buys nothing. A win would
+need end-to-end int8 activation storage (requantizing epilogues, int8
+residuals), a different project with real PTQ-accuracy risk. The path
+stays as a correctness-complete opt-in (Predictor.quantize), not a
+default.
 
 Scheme (standard symmetric PTQ):
   * eligible ops: the 1x1 projection convolutions (models/layers.py

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--out", default="/tmp/kd_tail.json")
     args = ap.parse_args()
 
+    from common import apply_env_platform
+    apply_env_platform()
+
     import jax
     import jax.numpy as jnp
     from bench import build_kd_bench
@@ -49,8 +52,11 @@ def main():
     ]
     results = {}
     for name, overrides in variants:
+        # Off-TPU: tiny shapes (the full-size frozen teacher stalls XLA:CPU
+        # constant folding for tens of minutes — see build_kd_bench) so the
+        # script stays smoke-testable; numbers are only meaningful on TPU.
         run, state, n_iters, _ = build_kd_bench(
-            args.batch, dtype, cached_teacher=True,
+            args.batch, dtype, cached_teacher=True, tiny=not on_tpu,
             scatter_impl="sorted_pallas" if on_tpu else None,
             kd_overrides=overrides)
         t0 = time.perf_counter()
