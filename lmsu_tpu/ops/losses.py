@@ -91,10 +91,20 @@ def feature_matching_loss(
     learned [Ct, Cs] projection maps teacher -> student space. On TPU the
     projection is a single [B*H*W, Ct] x [Ct, Cs] matmul that rides the MXU.
     """
-    t = teacher_feat.astype(jnp.float32)
-    s = student_feat.astype(jnp.float32)
     if projection is not None:
-        t = jnp.einsum("...c,cd->...d", t, projection.astype(jnp.float32))
+        # Operands stay in the tap's dtype (bf16 under ModelConfig.
+        # compute_dtype=bf16) with f32 accumulation: TPU matmul default
+        # precision truncates f32 operands to bf16 anyway, so an up-front
+        # f32 cast buys no accuracy — it only materializes 2x-size tensors
+        # (measured: the 3-tap feature match costs 1.5 ms of the benched
+        # step, docs/kd_tail_v5e_b32.json). f32 taps (CPU tests, default
+        # config) are bit-unchanged.
+        t = jnp.einsum("...c,cd->...d", teacher_feat,
+                       projection.astype(teacher_feat.dtype),
+                       preferred_element_type=jnp.float32)
+    else:
+        t = teacher_feat.astype(jnp.float32)
+    s = student_feat.astype(jnp.float32)
     return _sample_weighted_mean(jnp.square(s - t), sample_weight)
 
 

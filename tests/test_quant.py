@@ -139,3 +139,24 @@ class TestModelQuant:
         assert q.shape == base.shape and np.isfinite(q).all()
         mask = pred.predict_mask(np.asarray(img[0]), np.asarray(pts[0]))
         assert mask.shape == (16, 16)
+
+    def test_export_bakes_quantized_graph(self, rng, tmp_path):
+        # Predictor.quantize() then export(): the artifact serves the int8
+        # graph (quant_stats ride self.variables into the baked constants)
+        # and reproduces the in-process quantized forward exactly.
+        from lmsu_tpu.inference import load_exported
+        cfg, model, v, img, pts = self._model(rng)
+        pred = Predictor(cfg, v)
+        pred.quantize([{"image": img, "points": pts}])
+        want = np.asarray(pred(img[:1], pts[:1]))
+        path = str(tmp_path / "quant.stablehlo")
+        pred.export(path, batch_size=1, image_size=(64, 64), num_points=128,
+                    with_point_valid=False)
+        served = load_exported(path)
+        got = np.asarray(served(np.asarray(img[:1]), np.asarray(pts[:1])))
+        # Same int8 graph, separately compiled: XLA may reassociate the f32
+        # dequant epilogues, so allow float-ulp drift but require identical
+        # decisions.
+        scale = float(np.abs(want).max())
+        assert float(np.abs(got - want).max()) < 1e-5 * scale
+        np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
