@@ -1,0 +1,366 @@
+"""Dynamic-batching serving engine — the production inference runtime.
+
+The reference repo serves frames one at a time through a matplotlib script
+(visualize_predictions.py:11-81, its only "inference path"). A production
+deployment instead receives *concurrent single-frame requests* and must
+feed the accelerator large, fixed-shape batches to hit MXU/HBM efficiency.
+This engine is the TPU-native bridge between those two worlds:
+
+- **One compiled executable, ever.** The batch shape [B, H, W, 3] /
+  [B, N, 4] is fixed at construction; partial batches are zero-padded and
+  the pad rows' outputs dropped. No dynamic shapes, no recompiles, no
+  XLA retracing in steady state (the fixed-shape rule from CLAUDE.md).
+- **Dynamic micro-batching.** Requests queue; a dispatcher thread opens a
+  batching window when the first request lands and closes it after
+  `max_delay_ms` or when `batch_size` requests are waiting, whichever is
+  first. Latency cost is bounded by the window; throughput approaches the
+  batched-forward roofline as load rises.
+- **Async-dispatch pipelining.** jax dispatch is non-blocking: the
+  dispatcher enqueues the device computation and immediately returns to
+  stacking the next batch, while a completer thread blocks on the
+  transfer (`np.asarray`) and resolves client futures. Host stacking of
+  batch k+1 overlaps device compute of batch k; `max_inflight` bounds the
+  device queue depth.
+- **Per-request host work stays on client threads.** Point padding /
+  deterministic subsampling / the sorted-scatter cell sort run in
+  `submit()` on the caller's thread, so N clients parallelize the host
+  preprocessing instead of serializing it behind the dispatcher.
+
+Backends: any callable `(images, points, point_valid) -> logits` — a
+`Predictor` (from_predictor) or a `Predictor.export()` StableHLO artifact
+(from_exported), so the serving tier needs no flax/model code.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+
+
+def _percentile(sorted_vals: Sequence[float], q: float) -> float:
+    if not sorted_vals:
+        return float("nan")
+    idx = min(len(sorted_vals) - 1, int(round(q / 100.0 * (len(sorted_vals) - 1))))
+    return float(sorted_vals[idx])
+
+
+class _Pending:
+    __slots__ = ("image", "points", "point_valid", "future", "t_enqueue")
+
+    def __init__(self, image, points, point_valid):
+        self.image = image
+        self.points = points
+        self.point_valid = point_valid
+        self.future: Future = Future()
+        self.t_enqueue = time.monotonic()
+
+
+class ServingEngine:
+    """Dynamic-batching inference engine over a fixed-shape forward.
+
+    forward: callable (images [B,H,W,3], points [B,N,4], point_valid [B,N]
+        bool or None) -> logits [B,h,w,C]; must accept exactly the
+        constructed batch shape. Use the factory constructors for the
+        common backends.
+    batch_size: compiled batch size B. Partial windows are padded to B.
+    image_size: (H, W) of the compiled input.
+    num_points: N of the compiled point dimension; requests are padded
+        (point_valid False on pads) or deterministically stride-subsampled
+        down to it.
+    max_delay_ms: batching window — the max extra latency a request pays
+        waiting for co-batched requests.
+    max_inflight: device-queue depth (batches dispatched but not yet
+        retrieved). 2 = classic double buffering.
+    image_dtype: np.uint8 (default; 4x cheaper host->device, the model
+        normalizes on device — models/fusion.py:249) or np.float32.
+        float inputs are assumed [0,1] and converted losslessly only
+        to float32.
+    passes_point_valid: False for backends exported without the mask
+        input (Predictor.export(with_point_valid=False)).
+    sorter: optional per-sample dict transform (the sorted-scatter cell
+        sort, data/rasterize.py::make_point_sorter) applied in submit().
+    """
+
+    def __init__(self, forward: Callable, *, batch_size: int,
+                 image_size=(256, 256), num_points: int = 5000,
+                 max_delay_ms: float = 2.0, max_inflight: int = 2,
+                 image_dtype=np.uint8, passes_point_valid: bool = True,
+                 sorter: Optional[Callable] = None,
+                 latency_window: int = 4096):
+        self._forward = forward
+        self.batch_size = int(batch_size)
+        self.image_size = tuple(image_size)
+        self.num_points = int(num_points)
+        self.max_delay_s = float(max_delay_ms) / 1e3
+        self.image_dtype = np.dtype(image_dtype)
+        self.passes_point_valid = passes_point_valid
+        self._sorter = sorter
+
+        self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
+        self._done: "queue.Queue" = queue.Queue(maxsize=max(1, max_inflight))
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+        self._n_requests = 0
+        self._n_batches = 0
+        self._n_padded_rows = 0
+        self._latencies = []  # seconds, ring-buffered
+        self._latency_window = latency_window
+        self._t_first = None
+        self._t_last = None
+
+        self._dispatcher = threading.Thread(
+            target=self._dispatch_loop, name="serving-dispatch", daemon=True)
+        self._completer = threading.Thread(
+            target=self._complete_loop, name="serving-complete", daemon=True)
+        self._dispatcher.start()
+        self._completer.start()
+
+    # -- construction ------------------------------------------------------
+
+    @classmethod
+    def from_predictor(cls, predictor, *, batch_size: int,
+                       max_delay_ms: float = 2.0, **kw) -> "ServingEngine":
+        """Serve a lmsu_tpu.inference.Predictor.
+
+        The engine bypasses Predictor.__call__'s per-call host sort and
+        instead applies the same sorter per-sample on client threads.
+        """
+        cfg = predictor.config
+        fwd = predictor._forward
+        variables = predictor.variables
+
+        def forward(images, points, point_valid):
+            return fwd(variables, images, points, point_valid)
+
+        kw.setdefault("image_size", getattr(cfg, "image_size", (256, 256)))
+        return cls(forward, batch_size=batch_size, max_delay_ms=max_delay_ms,
+                   sorter=predictor._sorter, **kw)
+
+    @classmethod
+    def from_exported(cls, path: str, *, batch_size: int,
+                      num_points: int = 5000, image_size=(256, 256),
+                      with_point_valid: bool = True,
+                      max_delay_ms: float = 2.0, **kw) -> "ServingEngine":
+        """Serve a Predictor.export() StableHLO artifact (no model code).
+
+        batch_size / num_points / image_size must match the exported
+        specs (jax.export fixes them at serialization time), and the
+        artifact takes float32 images.
+        """
+        from lmsu_tpu.inference import load_exported
+        call = load_exported(path)
+        if with_point_valid:
+            def forward(images, points, point_valid):
+                return call(images, points, point_valid)
+        else:
+            def forward(images, points, point_valid):
+                return call(images, points)
+        kw.setdefault("image_dtype", np.float32)
+        return cls(forward, batch_size=batch_size, num_points=num_points,
+                   image_size=image_size, max_delay_ms=max_delay_ms,
+                   passes_point_valid=with_point_valid, **kw)
+
+    # -- client API --------------------------------------------------------
+
+    def submit(self, image, points, point_valid=None) -> Future:
+        """Enqueue one frame; returns a Future resolving to logits
+        [h, w, num_classes] (numpy). Thread-safe; preprocessing (dtype,
+        point padding/subsample, optional cell sort) runs on the calling
+        thread."""
+        if self._stop.is_set():
+            raise RuntimeError("ServingEngine is closed")
+        image = self._prep_image(image)
+        points, point_valid = self._prep_points(points, point_valid)
+        pending = _Pending(image, points, point_valid)
+        with self._lock:
+            self._n_requests += 1
+            if self._t_first is None:
+                self._t_first = pending.t_enqueue
+        self._queue.put(pending)
+        return pending.future
+
+    def predict(self, image, points, point_valid=None,
+                timeout: Optional[float] = None) -> np.ndarray:
+        """Synchronous single-frame logits."""
+        return self.submit(image, points, point_valid).result(timeout)
+
+    def predict_mask(self, image, points, point_valid=None,
+                     timeout: Optional[float] = None) -> np.ndarray:
+        """Synchronous single-frame argmax mask [h, w] int32."""
+        logits = self.predict(image, points, point_valid, timeout)
+        return np.argmax(logits, axis=-1).astype(np.int32)
+
+    def warmup(self) -> None:
+        """Trigger the one compile with a zero batch (pays the jit cost
+        up front instead of on the first request)."""
+        zeros_i = np.zeros((1, *self.image_size, 3), self.image_dtype)
+        zeros_p = np.zeros((1, self.num_points, 4), np.float32)
+        self.predict(zeros_i[0], zeros_p[0],
+                     np.zeros((self.num_points,), bool))
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = sorted(self._latencies)
+            n_req, n_b = self._n_requests, self._n_batches
+            n_pad = self._n_padded_rows
+            t0, t1 = self._t_first, self._t_last
+        span = (t1 - t0) if (t0 is not None and t1 is not None) else 0.0
+        occupancy = (n_b * self.batch_size - n_pad) / max(1, n_b * self.batch_size)
+        return {
+            "requests": n_req,
+            "batches": n_b,
+            "batch_size": self.batch_size,
+            "occupancy": round(occupancy, 4),
+            "throughput_rps": round(n_req / span, 2) if span > 0 else None,
+            "latency_ms": {
+                "p50": round(_percentile(lat, 50) * 1e3, 3),
+                "p95": round(_percentile(lat, 95) * 1e3, 3),
+                "p99": round(_percentile(lat, 99) * 1e3, 3),
+                "mean": round(float(np.mean(lat)) * 1e3, 3) if lat else None,
+            },
+        }
+
+    def close(self, timeout: float = 10.0) -> None:
+        """Drain and stop. Pending requests are completed first."""
+        if self._stop.is_set():
+            return
+        self._stop.set()
+        self._queue.put(None)  # wake the dispatcher
+        self._dispatcher.join(timeout)
+        self._done.put(None)
+        self._completer.join(timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # -- preprocessing (client threads) -------------------------------------
+
+    def _prep_image(self, image) -> np.ndarray:
+        img = np.asarray(image)
+        if img.shape != (*self.image_size, 3):
+            raise ValueError(f"image shape {img.shape} != "
+                             f"{(*self.image_size, 3)}")
+        if img.dtype == self.image_dtype:
+            return img
+        if img.dtype == np.uint8 and self.image_dtype == np.float32:
+            return img.astype(np.float32) / 255.0
+        if self.image_dtype == np.uint8:
+            raise ValueError(
+                f"engine compiled for uint8 images, got {img.dtype}; "
+                "pass uint8 or build the engine with image_dtype=float32")
+        return img.astype(self.image_dtype)
+
+    def _prep_points(self, points, point_valid):
+        pts = np.asarray(points, np.float32)
+        if pts.ndim != 2 or pts.shape[1] != 4:
+            raise ValueError(f"points must be [N, 4], got {pts.shape}")
+        n = pts.shape[0]
+        if point_valid is None:
+            pv = np.ones((n,), bool)
+        else:
+            pv = np.asarray(point_valid, bool)
+            if pv.shape != (n,):
+                raise ValueError("point_valid must be [N] matching points")
+        if n > self.num_points:
+            # Deterministic even-stride subsample (serving must be
+            # reproducible; the reference's random downsample,
+            # pandaset_dataset.py:121-127, is a *training* choice).
+            idx = np.linspace(0, n - 1, self.num_points).round().astype(np.int64)
+            pts, pv = pts[idx], pv[idx]
+        elif n < self.num_points:
+            pad = self.num_points - n
+            pts = np.concatenate([pts, np.zeros((pad, 4), np.float32)])
+            pv = np.concatenate([pv, np.zeros((pad,), bool)])
+        if self._sorter is not None:
+            s = self._sorter({"points": pts, "point_valid": pv})
+            pts, pv = s["points"], s["point_valid"]
+        return pts, pv
+
+    # -- dispatcher / completer threads --------------------------------------
+
+    def _collect_window(self):
+        """Block for the first request, then fill until batch_size or the
+        max_delay deadline. Returns [] only at shutdown."""
+        try:
+            first = self._queue.get(timeout=0.1)
+        except queue.Empty:
+            return []
+        if first is None:
+            return []
+        window = [first]
+        deadline = time.monotonic() + self.max_delay_s
+        while len(window) < self.batch_size:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            window.append(nxt)
+        return window
+
+    def _dispatch_loop(self):
+        B = self.batch_size
+        while True:
+            window = self._collect_window()
+            if not window:
+                if self._stop.is_set() and self._queue.empty():
+                    return
+                continue
+            n = len(window)
+            images = np.zeros((B, *self.image_size, 3), self.image_dtype)
+            points = np.zeros((B, self.num_points, 4), np.float32)
+            pvalid = np.zeros((B, self.num_points), bool)
+            for i, req in enumerate(window):
+                images[i] = req.image
+                points[i] = req.points
+                pvalid[i] = req.point_valid
+            try:
+                pv_arg = pvalid if self.passes_point_valid else None
+                logits = self._forward(images, points, pv_arg)
+            except Exception as e:  # resolve, don't kill the loop
+                for req in window:
+                    req.future.set_exception(e)
+                continue
+            with self._lock:
+                self._n_batches += 1
+                self._n_padded_rows += B - n
+            # Hand off to the completer; jax dispatch was async, so this
+            # thread immediately returns to stacking the next window while
+            # the device crunches this one.
+            self._done.put((window, logits))
+
+    def _complete_loop(self):
+        while True:
+            item = self._done.get()
+            if item is None:
+                return
+            window, logits = item
+            try:
+                host = np.asarray(logits)  # blocks until device done
+            except Exception as e:
+                for req in window:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+                continue
+            t = time.monotonic()
+            lats = []
+            for i, req in enumerate(window):
+                req.future.set_result(host[i].copy())
+                lats.append(t - req.t_enqueue)
+            with self._lock:
+                self._t_last = t
+                self._latencies.extend(lats)
+                if len(self._latencies) > self._latency_window:
+                    del self._latencies[:-self._latency_window]

@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Load-benchmark the serving engine: latency/throughput vs concurrency.
+
+Closed-loop load generation against an in-process ServingEngine (the HTTP
+layer is stdlib plumbing; this measures the engine + device). C client
+threads each submit single frames back-to-back for --duration seconds; the
+engine micro-batches them into the fixed-shape compiled forward. Reports
+p50/p95/p99 request latency, throughput, and batch occupancy per
+concurrency level.
+
+Relay note (CLAUDE.md): the TPU link memoizes identical dispatches, so
+every request draws from a pool of distinct pre-generated frames and
+batches are never bit-identical.
+
+Usage:
+  python scripts/bench_serving.py                  # real chip, full model
+  python scripts/bench_serving.py --tiny --duration 2   # CPU smoke
+  python scripts/bench_serving.py --concurrency 1 32 --baseline-b1
+"""
+
+import argparse
+import json
+import sys
+import threading
+import time
+
+sys.path.insert(0, ".")
+
+from scripts.common import apply_env_platform
+
+
+def make_frame_pool(rng, n_frames, img_hw, n_pts):
+    import numpy as np
+    frames = []
+    for _ in range(n_frames):
+        img = rng.integers(0, 256, (img_hw, img_hw, 3)).astype(np.uint8)
+        pts = rng.normal(0, 25, (n_pts, 4)).astype(np.float32)
+        pts[:, 2] = rng.uniform(-5, 3, n_pts)
+        pts[:, 3] = rng.uniform(0, 1, n_pts)
+        pv = rng.uniform(size=n_pts) > 0.1
+        frames.append((img, pts, pv))
+    return frames
+
+
+def run_load(engine, frames, concurrency, duration_s):
+    """Closed-loop: each of C threads submits frame -> waits -> repeats.
+    Returns (latencies_s, completed, wall_s)."""
+    stop = threading.Event()
+    lock = threading.Lock()
+    all_lats = []
+
+    def client(tid):
+        lats = []
+        i = tid  # offset so concurrent batches mix different frames
+        while not stop.is_set():
+            img, pts, pv = frames[i % len(frames)]
+            i += concurrency
+            t0 = time.monotonic()
+            engine.predict(img, pts, pv, timeout=600)
+            lats.append(time.monotonic() - t0)
+        with lock:
+            all_lats.extend(lats)
+
+    threads = [threading.Thread(target=client, args=(t,), daemon=True)
+               for t in range(concurrency)]
+    t_start = time.monotonic()
+    for t in threads:
+        t.start()
+    time.sleep(duration_s)
+    stop.set()
+    for t in threads:
+        t.join(timeout=600)
+    wall = time.monotonic() - t_start
+    return all_lats, len(all_lats), wall
+
+
+def percentiles(lats):
+    import numpy as np
+    if not lats:
+        return {"p50": None, "p95": None, "p99": None}
+    a = np.sort(np.asarray(lats)) * 1e3
+    return {"p50": round(float(np.percentile(a, 50)), 3),
+            "p95": round(float(np.percentile(a, 95)), 3),
+            "p99": round(float(np.percentile(a, 99)), 3)}
+
+
+def build_engine(args, batch_size):
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from lmsu_tpu.config import (CameraEncoderConfig, LidarEncoderConfig,
+                                 ModelConfig)
+    from lmsu_tpu.inference import Predictor
+    from lmsu_tpu.models import create_model, init_model
+    from lmsu_tpu.serving import ServingEngine
+
+    on_tpu = jax.default_backend() not in ("cpu",)
+    compute_dtype = jnp.bfloat16 if (on_tpu and not args.fp32) else jnp.float32
+    if args.tiny:
+        cfg = ModelConfig(
+            num_classes=2, fusion_type="weighted", fusion_out_channels=32,
+            camera_fpn_channels=16, compute_dtype=compute_dtype,
+            camera=CameraEncoderConfig(base_channels=8),
+            lidar=LidarEncoderConfig(feature_dim=32, mlp_dims=(16, 32),
+                                     grid_size=(16, 16)))
+        img_hw, n_pts = 64, 512
+    else:
+        cfg = ModelConfig(num_classes=2, fusion_type="weighted",
+                          fusion_out_channels=128,
+                          compute_dtype=compute_dtype)
+        img_hw, n_pts = 256, 5000
+    scatter = args.scatter_impl or ("sorted_pallas" if on_tpu and not args.tiny
+                                    else None)
+    if scatter:
+        cfg = cfg.replace(lidar=dataclasses.replace(cfg.lidar,
+                                                    scatter_impl=scatter))
+    model = create_model(cfg)
+    if args.checkpoint:
+        pred = Predictor.from_checkpoint(args.checkpoint, cfg)
+    else:
+        variables = init_model(model, jax.random.PRNGKey(0), batch_size=1,
+                               image_size=(img_hw, img_hw), num_points=n_pts)
+        pred = Predictor(cfg, variables)
+    eng = ServingEngine.from_predictor(
+        pred, batch_size=batch_size, image_size=(img_hw, img_hw),
+        num_points=n_pts, max_delay_ms=args.max_delay_ms,
+        image_dtype=np.uint8)
+    return eng, img_hw, n_pts, on_tpu, scatter or "xla"
+
+
+def main(argv=None) -> None:
+    apply_env_platform()
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--batch-size", type=int, default=32,
+                    help="compiled engine batch (the bench eval shape)")
+    ap.add_argument("--max-delay-ms", type=float, default=2.0)
+    ap.add_argument("--concurrency", type=int, nargs="+",
+                    default=[1, 8, 32, 64])
+    ap.add_argument("--duration", type=float, default=10.0,
+                    help="seconds of closed-loop load per concurrency level")
+    ap.add_argument("--frames", type=int, default=64,
+                    help="distinct pre-generated frames (relay memoization "
+                    "guard)")
+    ap.add_argument("--tiny", action="store_true", help="CPU smoke shapes")
+    ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--scatter-impl", default=None,
+                    choices=["xla", "xla_fastbwd", "sorted", "pallas",
+                             "sorted_pallas"])
+    ap.add_argument("--checkpoint", default=None,
+                    help="serve trained weights instead of random init "
+                    "(throughput is weight-independent)")
+    ap.add_argument("--baseline-b1", action="store_true",
+                    help="also measure a no-batching B=1 engine at C=1 "
+                    "(extra executable compile)")
+    ap.add_argument("--out", default=None, help="also write the JSON here")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    engine, img_hw, n_pts, on_tpu, scatter = build_engine(args,
+                                                          args.batch_size)
+    frames = make_frame_pool(rng, args.frames, img_hw, n_pts)
+    print(f"backend={'tpu' if on_tpu else 'cpu'} B={args.batch_size} "
+          f"window={args.max_delay_ms}ms scatter={scatter} "
+          f"img={img_hw}^2 pts={n_pts}", flush=True)
+    t0 = time.monotonic()
+    engine.warmup()
+    print(f"compile+warmup {time.monotonic() - t0:.1f}s", flush=True)
+
+    levels = []
+    for c in args.concurrency:
+        lats, completed, wall = run_load(engine, frames, c, args.duration)
+        st = engine.stats()
+        row = {"concurrency": c, "completed": completed,
+               "throughput_rps": round(completed / wall, 2),
+               "latency_ms": percentiles(lats),
+               "occupancy_cum": st["occupancy"]}
+        levels.append(row)
+        print(f"C={c:4d}: {row['throughput_rps']:9.1f} req/s   "
+              f"p50 {row['latency_ms']['p50']} ms   "
+              f"p99 {row['latency_ms']['p99']} ms", flush=True)
+    engine.close()
+
+    baseline = None
+    if args.baseline_b1:
+        eng1, *_ = build_engine(args, 1)
+        eng1.warmup()
+        lats, completed, wall = run_load(eng1, frames, 1, args.duration)
+        eng1.close()
+        baseline = {"throughput_rps": round(completed / wall, 2),
+                    "latency_ms": percentiles(lats)}
+        print(f"B=1 baseline: {baseline['throughput_rps']} req/s   "
+              f"p50 {baseline['latency_ms']['p50']} ms", flush=True)
+
+    best = max(levels, key=lambda r: r["throughput_rps"])
+    result = {
+        "metric": "serving_throughput_rps",
+        "value": best["throughput_rps"],
+        "unit": "req/s",
+        "detail": {"batch_size": args.batch_size,
+                   "max_delay_ms": args.max_delay_ms,
+                   "scatter_impl": scatter,
+                   "backend": "tpu" if on_tpu else "cpu",
+                   "tiny": args.tiny,
+                   "levels": levels, "baseline_b1": baseline},
+    }
+    line = json.dumps(result)
+    print(line)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()

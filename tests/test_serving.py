@@ -1,0 +1,277 @@
+"""Serving runtime tests: dynamic-batching engine + HTTP front-end.
+
+The engine must be a pure wrapper: whatever it returns for a request must
+bit-match a direct Predictor call on the same (padded/sorted) inputs,
+under concurrency, partial batches, and both backends (Predictor and
+exported StableHLO artifact).
+"""
+
+import dataclasses
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from lmsu_tpu.config import (CameraEncoderConfig, LidarEncoderConfig,
+                             ModelConfig)
+from lmsu_tpu.inference import Predictor
+from lmsu_tpu.models import create_model, init_model
+from lmsu_tpu.serving import ServingEngine, make_server
+
+IMG = (32, 32)
+NPTS = 64
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return ModelConfig(
+        num_classes=2, fusion_type="concat", fusion_out_channels=32,
+        camera_fpn_channels=16,
+        camera=CameraEncoderConfig(base_channels=4),
+        lidar=LidarEncoderConfig(feature_dim=16, mlp_dims=(8, 16),
+                                 grid_size=(8, 8)))
+
+
+@pytest.fixture(scope="module")
+def predictor(tiny_cfg):
+    model = create_model(tiny_cfg)
+    variables = init_model(model, jax.random.PRNGKey(0),
+                           image_size=IMG, num_points=NPTS)
+    return Predictor(tiny_cfg, variables)
+
+
+def _engine(predictor, **kw):
+    kw.setdefault("batch_size", 4)
+    kw.setdefault("image_size", IMG)
+    kw.setdefault("num_points", NPTS)
+    kw.setdefault("max_delay_ms", 20.0)
+    return ServingEngine.from_predictor(predictor, **kw)
+
+
+def _frames(rng, n, npts=NPTS):
+    imgs = rng.integers(0, 256, (n, *IMG, 3)).astype(np.uint8)
+    pts = rng.normal(0, 20, (n, npts, 4)).astype(np.float32)
+    pv = rng.uniform(size=(n, npts)) > 0.3
+    return imgs, pts, pv
+
+
+class TestEngine:
+    def test_concurrent_requests_match_direct(self, predictor, rng):
+        """7 concurrent single-frame requests through a B=4 engine must
+        each bit-match the direct batched Predictor on the same inputs."""
+        imgs, pts, pv = _frames(rng, 7)
+        want = np.asarray(predictor(imgs, pts, point_valid=pv))
+        with _engine(predictor) as eng:
+            futs = [eng.submit(imgs[i], pts[i], pv[i]) for i in range(7)]
+            got = np.stack([f.result(timeout=120) for f in futs])
+        # atol: XLA:CPU picks batch-shape-dependent conv algorithms, so
+        # rows differ across batch sizes by FP reassociation (~1e-9).
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        st = eng.stats()
+        assert st["requests"] == 7
+        assert st["batches"] >= 2  # 7 frames can't fit one B=4 batch
+
+    def test_partial_batch_padding_dropped(self, predictor, rng):
+        """A lone request in a B=4 engine: pad rows must not leak into the
+        result, and occupancy reflects the padding."""
+        imgs, pts, pv = _frames(rng, 1)
+        want = np.asarray(predictor(imgs, pts, point_valid=pv))[0]
+        with _engine(predictor) as eng:
+            got = eng.predict(imgs[0], pts[0], pv[0], timeout=120)
+            st = eng.stats()
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        assert st["batches"] == 1 and st["occupancy"] == 0.25
+
+    def test_point_padding_and_subsampling(self, predictor, rng):
+        """Requests with N != compiled num_points: short clouds are
+        zero-padded with point_valid False; long clouds are
+        deterministically stride-subsampled."""
+        imgs, _, _ = _frames(rng, 2)
+        short = rng.normal(0, 20, (37, 4)).astype(np.float32)
+        long = rng.normal(0, 20, (130, 4)).astype(np.float32)
+        # expected: engine-side padding semantics replayed by hand
+        pad_pts = np.concatenate([short, np.zeros((NPTS - 37, 4), np.float32)])
+        pad_pv = np.concatenate([np.ones(37, bool), np.zeros(NPTS - 37, bool)])
+        idx = np.linspace(0, 129, NPTS).round().astype(np.int64)
+        sub_pts, sub_pv = long[idx], np.ones(NPTS, bool)
+        want = np.asarray(predictor(
+            imgs, np.stack([pad_pts, sub_pts]),
+            point_valid=np.stack([pad_pv, sub_pv])))
+        with _engine(predictor) as eng:
+            a = eng.predict(imgs[0], short, timeout=120)
+            b = eng.predict(imgs[1], long, timeout=120)
+        np.testing.assert_allclose(a, want[0], atol=1e-6)
+        np.testing.assert_allclose(b, want[1], atol=1e-6)
+
+    def test_float_image_conversion(self, predictor, rng):
+        """A float32-image engine accepts uint8 inputs (converted /255,
+        the pipeline normalization, models/fusion.py:252)."""
+        imgs, pts, pv = _frames(rng, 1)
+        want = np.asarray(predictor(
+            imgs.astype(np.float32) / 255.0, pts, point_valid=pv))[0]
+        with _engine(predictor, image_dtype=np.float32) as eng:
+            got = eng.predict(imgs[0], pts[0], pv[0], timeout=120)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    def test_input_validation(self, predictor, rng):
+        with _engine(predictor) as eng:
+            with pytest.raises(ValueError, match="image shape"):
+                eng.submit(np.zeros((16, 16, 3), np.uint8),
+                           np.zeros((8, 4), np.float32))
+            with pytest.raises(ValueError, match="points"):
+                eng.submit(np.zeros((*IMG, 3), np.uint8),
+                           np.zeros((8, 3), np.float32))
+            with pytest.raises(ValueError, match="uint8"):
+                eng.submit(np.zeros((*IMG, 3), np.float32),
+                           np.zeros((8, 4), np.float32))
+        with pytest.raises(RuntimeError, match="closed"):
+            eng.submit(np.zeros((*IMG, 3), np.uint8),
+                       np.zeros((8, 4), np.float32))
+
+    def test_sorted_pallas_engine_transparent(self, tiny_cfg, rng):
+        """An engine over a sorted_pallas Predictor accepts unsorted points
+        and matches the default-impl engine (the cell sort runs in
+        submit(), per-sample, on the client thread)."""
+        model = create_model(tiny_cfg)
+        variables = init_model(model, jax.random.PRNGKey(0),
+                               image_size=IMG, num_points=NPTS)
+        sorted_cfg = dataclasses.replace(
+            tiny_cfg, lidar=dataclasses.replace(
+                tiny_cfg.lidar, scatter_impl="sorted_pallas"))
+        imgs, pts, pv = _frames(rng, 2)
+        with _engine(Predictor(tiny_cfg, variables)) as ref_eng:
+            want = [ref_eng.predict(imgs[i], pts[i], pv[i], timeout=120)
+                    for i in range(2)]
+        with _engine(Predictor(sorted_cfg, variables)) as eng:
+            got = [eng.predict(imgs[i], pts[i], pv[i], timeout=120)
+                   for i in range(2)]
+        np.testing.assert_allclose(np.stack(got), np.stack(want), atol=1e-5)
+
+    def test_exported_artifact_backend(self, tiny_cfg, predictor, rng,
+                                       tmp_path):
+        """from_exported serves a StableHLO artifact with no model code and
+        matches the Predictor backend."""
+        path = str(tmp_path / "tiny.stablehlo")
+        predictor.export(path, batch_size=2, image_size=IMG,
+                         num_points=NPTS)
+        imgs, pts, pv = _frames(rng, 3)
+        want = np.asarray(predictor(
+            imgs.astype(np.float32) / 255.0, pts, point_valid=pv))
+        with ServingEngine.from_exported(
+                path, batch_size=2, image_size=IMG, num_points=NPTS,
+                max_delay_ms=20.0) as eng:
+            futs = [eng.submit(imgs[i], pts[i], pv[i]) for i in range(3)]
+            got = np.stack([f.result(timeout=120) for f in futs])
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_warmup_and_mask(self, predictor, rng):
+        imgs, pts, pv = _frames(rng, 1)
+        with _engine(predictor) as eng:
+            eng.warmup()
+            mask = eng.predict_mask(imgs[0], pts[0], pv[0], timeout=120)
+            logits = eng.predict(imgs[0], pts[0], pv[0], timeout=120)
+        np.testing.assert_array_equal(mask, np.argmax(logits, -1))
+        assert mask.dtype == np.int32
+
+
+class TestHTTP:
+    @pytest.fixture()
+    def server(self, predictor):
+        eng = _engine(predictor)
+        srv = make_server(eng, port=0)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        yield srv, eng, f"http://127.0.0.1:{srv.server_address[1]}"
+        srv.shutdown()
+        srv.server_close()
+        eng.close()
+
+    def _post(self, url, body, ctype):
+        req = urllib.request.Request(url, data=body, method="POST",
+                                     headers={"Content-Type": ctype})
+        try:
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return resp.status, resp.headers, resp.read()
+        except urllib.error.HTTPError as e:
+            raise AssertionError(
+                f"HTTP {e.code}: {e.read().decode()}") from e
+
+    def test_npz_roundtrip(self, server, predictor, rng):
+        import io
+        _, eng, base = server
+        imgs, pts, pv = _frames(rng, 1)
+        want = np.asarray(predictor(imgs, pts, point_valid=pv))[0]
+        buf = io.BytesIO()
+        np.savez(buf, image=imgs[0], points=pts[0], point_valid=pv[0])
+        status, headers, body = self._post(
+            base + "/v1/predict", buf.getvalue(), "application/x-npz")
+        assert status == 200
+        assert float(headers["X-Serve-Ms"]) > 0
+        with np.load(io.BytesIO(body)) as z:
+            np.testing.assert_allclose(z["logits"], want, atol=1e-6)
+        # mask output
+        buf.seek(0)
+        status, _, body = self._post(
+            base + "/v1/predict?output=mask", buf.getvalue(),
+            "application/x-npz")
+        with np.load(io.BytesIO(body)) as z:
+            np.testing.assert_array_equal(z["mask"], np.argmax(want, -1))
+
+    def test_json_roundtrip_and_stats(self, server, predictor, rng):
+        _, eng, base = server
+        imgs, pts, pv = _frames(rng, 1)
+        want = np.asarray(predictor(imgs, pts, point_valid=pv))[0]
+        body = json.dumps({"image": imgs[0].tolist(),
+                           "points": pts[0].tolist(),
+                           "point_valid": pv[0].tolist()}).encode()
+        status, _, resp = self._post(base + "/v1/predict?output=mask", body,
+                                     "application/json")
+        assert status == 200
+        got = np.asarray(json.loads(resp)["mask"])
+        np.testing.assert_array_equal(got, np.argmax(want, -1))
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as r:
+            assert json.loads(r.read())["ok"] is True
+        with urllib.request.urlopen(base + "/v1/stats", timeout=30) as r:
+            st = json.loads(r.read())
+        assert st["requests"] >= 1 and st["latency_ms"]["p50"] > 0
+
+    def test_bad_request(self, server):
+        _, _, base = server
+        with pytest.raises(AssertionError, match="HTTP 400"):
+            self._post(base + "/v1/predict", b"not json",
+                       "application/json")
+
+
+class TestServingCLI:
+    """Subprocess smokes for scripts/serve.py + scripts/bench_serving.py."""
+
+    def _run(self, args, timeout=540):
+        import os
+        import subprocess
+        import sys
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        return subprocess.run([sys.executable] + args, capture_output=True,
+                              text=True, env=env, cwd=repo, timeout=timeout)
+
+    def test_bench_serving_tiny(self):
+        r = self._run(["scripts/bench_serving.py", "--tiny",
+                       "--duration", "1.5", "--concurrency", "1", "4",
+                       "--frames", "8", "--batch-size", "4"])
+        assert r.returncode == 0, r.stderr[-800:]
+        result = json.loads(r.stdout.strip().splitlines()[-1])
+        assert result["metric"] == "serving_throughput_rps"
+        assert result["value"] > 0
+        assert len(result["detail"]["levels"]) == 2
+        assert result["detail"]["levels"][0]["latency_ms"]["p50"] > 0
+
+    def test_serve_missing_checkpoint_guidance(self):
+        r = self._run(["scripts/serve.py", "--checkpoint", "/nope.ckpt"])
+        assert r.returncode != 0
+        assert "not found" in r.stderr + r.stdout
