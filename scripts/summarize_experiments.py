@@ -1,0 +1,330 @@
+#!/usr/bin/env python
+"""Collate every committed experiment/measurement artifact into RESULTS.md.
+
+One deterministic, regenerable report over the JSON artifacts the training
+and profiling scripts write (each table cites its source artifact and the
+script that produced it). Run from the repo root:
+
+    python scripts/summarize_experiments.py          # rewrites RESULTS.md
+    python scripts/summarize_experiments.py --stdout
+
+The reference repo publishes results only as scattered JSONs and hardcoded
+figures (fusion_ablation_results.json, architecture.html stats); this is
+the consolidated equivalent for the TPU rebuild.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+
+def load(path):
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def pct(x, nd=1):
+    return f"{100.0 * x:.{nd}f}"
+
+
+def f4(x):
+    return f"{x:.4f}"
+
+
+def section_kd_lift(out):
+    d = load("kd_comparison_results.json")
+    if not d:
+        return
+    cfg = d["config"]
+    out.append(
+        "## Knowledge distillation: 3-way comparison (hard synthetic "
+        "benchmark)\n\n"
+        f"`kd_comparison_results.json` — scripts/experiment_kd_lift.py; "
+        f"{cfg['num_train']} train / {cfg['num_val']} val frames, "
+        f"{cfg['epochs']} epochs, B={cfg['batch_size']}, "
+        f"{cfg['teacher_width']}x-wide teacher, T={cfg['temperature']}, "
+        f"alpha={cfg['alpha_kl']}, beta={cfg['beta_feature']}. Arms share "
+        "each seed's data order/init, so the KD effect is the paired "
+        "per-seed gap.\n")
+    out.append("| seed | teacher | student | student+KD | paired KD gap |")
+    out.append("|---|---|---|---|---|")
+    gaps = []
+    for s, row in sorted(d["per_seed"].items()):
+        gap = row["student_kd"] - row["student"]
+        gaps.append(gap)
+        out.append(f"| {s} | {f4(row['teacher'])} | {f4(row['student'])} | "
+                   f"{f4(row['student_kd'])} | **+{pct(gap)} pt** |")
+    n = len(gaps)
+    out.append(
+        f"\nPaired gap positive on **all {n} seeds**: mean "
+        f"+{pct(sum(gaps) / n)} pt, min +{pct(min(gaps))} pt. Mean mIoU "
+        "teacher "
+        f"{f4(sum(r['teacher'] for r in d['per_seed'].values()) / n)} / "
+        "student+KD "
+        f"{f4(sum(r['student_kd'] for r in d['per_seed'].values()) / n)} / "
+        "student "
+        f"{f4(sum(r['student'] for r in d['per_seed'].values()) / n)}. "
+        "(Seed 3's student collapses to 0.70 — a hard-seed outlier; KD "
+        "improves it but does not rescue it, reported as-is.)\n")
+    eq = load("kd_cache_equiv.json")
+    if eq:
+        out.append(
+            "Cached-teacher equivalence (`kd_cache_equiv.json`): a full "
+            f"rerun of the seed-{eq['seed']} KD arm with the cached teacher "
+            f"is bit-identical to the in-loop run "
+            f"({f4(eq['student_kd_cached'])} both, abs diff "
+            f"{eq['abs_diff']}) — the benched headline configuration "
+            "provably trains the same model.\n")
+
+
+def section_kd_sweep(out):
+    d = load("kd_sweep_results.json")
+    if not d:
+        return
+    out.append("## KD hyperparameter sweep (seed 0)\n")
+    out.append("`kd_sweep_results.json` — scripts/experiment_kd_sweep.py. "
+               "Baselines: student alone "
+               f"{f4(d['baselines']['student_alone'])}, default KD (T=2, "
+               f".5/.5) {f4(d['baselines']['student_kd_T2_a.5_b.5'])}, "
+               f"teacher {f4(d['baselines']['teacher'])}.\n")
+    out.append("| recipe | val mIoU | vs default KD |")
+    out.append("|---|---|---|")
+    base = d["baselines"]["student_kd_T2_a.5_b.5"]
+    for name, v in sorted(d["sweep"].items(), key=lambda kv: -kv[1]):
+        dlt = v - base
+        out.append(f"| {name} | {f4(v)} | {'+' if dlt >= 0 else ''}"
+                   f"{pct(dlt)} pt |")
+    reps = []
+    for s in (1, 2):
+        r = load(f"kd_sweep_s{s}.json")
+        if r and "T4_a.5_b.5" in r.get("sweep", {}):
+            reps.append((s, r["sweep"]["T4_a.5_b.5"],
+                         r["baselines"]["student_kd_T2_a.5_b.5"]))
+    if reps:
+        rep = ", ".join(f"seed {s}: {f4(v)} (T=2: {f4(b)})"
+                        for s, v, b in reps)
+        out.append(f"\nT=4 replicated on further seeds — {rep}; it beats "
+                   "T=2 on every seed tested. Defaults stay at the "
+                   "standard T=2 recipe; the sweep documents the "
+                   "headroom.\n")
+    out.append("Feature matching alone UNDERPERFORMS the plain student "
+               "(the MSE term only helps jointly with the KL term); "
+               "logit-only KD captures most but not all of the lift.\n")
+
+
+def section_kd_variants(out):
+    d = load("kd_variants_results.json")
+    if not d:
+        return
+    out.append("## KD generalizes across the fusion family (seed 0)\n")
+    out.append("`kd_variants_results.json` — train_distill.py "
+               "--fusion-type, cached teacher.\n")
+    out.append("| fusion | teacher | student+KD | student alone | KD gap |")
+    out.append("|---|---|---|---|---|")
+    for name, r in sorted(d["per_variant"].items()):
+        out.append(f"| {name} | {f4(r['teacher'])} | {f4(r['student_kd'])} "
+                   f"| {f4(r['student_alone'])} | +{pct(r['kd_gap'])} pt |")
+    out.append("\nThe distilled minimal student (494,978 params) is the "
+               "best small model overall.\n")
+
+
+def section_kd_compression(out):
+    d = load("kd_compression_results.json")
+    if not d:
+        return
+    out.append("## KD under width compression (seed 0)\n")
+    out.append(
+        "`kd_compression_results.json` — "
+        "scripts/experiment_kd_compression.py; same "
+        f"{d['teacher']['params']:,}-param teacher "
+        f"(mIoU {f4(d['teacher']['miou'])}) distilled into shrinking "
+        "students.\n")
+    out.append("| student width | params | student alone | student+KD | "
+               "KD gap |")
+    out.append("|---|---|---|---|---|")
+    w1 = d["w1_reference"]
+    out.append(f"| 1.0 (reference) | 528,132 | {f4(w1['student'])} | "
+               f"{f4(w1['student_kd'])} | "
+               f"+{pct(w1['student_kd'] - w1['student'])} pt |")
+    for name, r in sorted(d["sweep"].items(), reverse=True):
+        out.append(f"| {name[1:]} | {r['params']:,} | {f4(r['student'])} | "
+                   f"{f4(r['student_kd'])} | +{pct(r['kd_gap'])} pt |")
+    t4 = d.get("t4_extension")
+    if t4:
+        out.append(
+            f"\nSweep-best T=4 recipe compounds with compression: the "
+            f"w=0.5 (143,972-param) student reaches "
+            f"**{f4(t4['w0.5_T4_student_kd'])}** — a 14x-smaller student "
+            "within 0.2 pt of the plain full-width student.\n")
+    s1 = load("kd_compression_s1.json")
+    if s1 and "w0.5" in s1.get("sweep", {}):
+        r = s1["sweep"]["w0.5"]
+        out.append(f"w=0.5 replicated on seed 1: +{pct(r['kd_gap'])} pt "
+                   f"({f4(r['student'])} -> {f4(r['student_kd'])}).\n")
+
+
+def section_kd_crossarch(out):
+    d = load("kd_crossarch_results.json")
+    if not d:
+        return
+    out.append("## Cross-architecture KD: spatial teacher -> PointPillars "
+               "student\n")
+    out.append("`kd_crossarch_results.json` — "
+               "scripts/experiment_kd_crossarch.py; the KD taps are "
+               "encoder-agnostic [B,H,W,C] BEV maps, so the teacher and "
+               "student may use different LiDAR encoders.\n")
+    out.append("| seed | spatial teacher | PP student | PP student+KD | "
+               "paired gap |")
+    out.append("|---|---|---|---|---|")
+    gaps = []
+    for s, r in sorted(d["per_seed"].items()):
+        gap = r["pp_student_kd"] - r["pp_student"]
+        gaps.append(gap)
+        out.append(f"| {s} | {f4(r['teacher_spatial'])} | "
+                   f"{f4(r['pp_student'])} | {f4(r['pp_student_kd'])} | "
+                   f"+{pct(gap)} pt |")
+    out.append(f"\nPositive on every seed (mean +{pct(sum(gaps)/len(gaps))} "
+               "pt).\n")
+
+
+def section_fusion_ablation(out):
+    d = load("fusion_ablation_hard_seeded.json")
+    if not d:
+        return
+    out.append("## Fusion ablation (hard benchmark, 3 seeds, paired)\n")
+    out.append("`fusion_ablation_hard_seeded.json` — "
+               "scripts/train_fusion_ablation.py per seed.\n")
+    out.append("| seed | concat | minimal | weighted |")
+    out.append("|---|---|---|---|")
+    sums = {"concat": 0.0, "minimal": 0.0, "weighted": 0.0}
+    n = 0
+    for s, r in sorted(d["per_seed"].items()):
+        n += 1
+        for k in sums:
+            sums[k] += r[k]
+        out.append(f"| {s} | {f4(r['concat'])} | {f4(r['minimal'])} | "
+                   f"{f4(r['weighted'])} |")
+    out.append("| **mean** | " + " | ".join(
+        f"**{f4(sums[k] / n)}**" for k in ("concat", "minimal", "weighted"))
+        + " |")
+    out.append("\nWeighted trails BOTH other variants on every seed; "
+               "minimal-vs-concat stays within seed noise. (On the easy "
+               "synthetic fixture all three saturate at 0.9997+ — "
+               "`fusion_ablation_results.json` — with param counts matching "
+               "the reference exactly: 573,442 / 494,978 / 528,132.)\n")
+    pp = load("pp_ablation_seeded.json")
+    if pp:
+        out.append("PointPillars vs spatial LiDAR encoder "
+                   "(`pp_ablation_seeded.json`, weighted/128 student): "
+                   "paired gaps " + ", ".join(
+                       f"{'+' if r['paired_gap'] >= 0 else ''}"
+                       f"{pct(r['paired_gap'])}"
+                       for _, r in sorted(pp["per_seed"].items()))
+                   + f" pt; mean {f4(pp['mean_miou']['pointpillars'])} vs "
+                   f"{f4(pp['mean_miou']['spatial'])} — the native PFN is "
+                   "competitive end-to-end and avoids spatial's seed-2 "
+                   "dip.\n")
+
+
+def section_perf(out):
+    out.append("## Performance (real TPU v5e, B=32 bf16)\n")
+    out.append("Official headline = the driver's bench.py run "
+               "(BENCH_r*.json). Reference CPU baseline: 3.05 frames/s "
+               "train step, 80.9 ms eval p50 (BASELINE.md).\n")
+    rb = load("docs/roofline_r3_sorted_breakdown.json")
+    if rb:
+        out.append("Step breakdown (`docs/roofline_r3_sorted_breakdown."
+                   "json`, scan-timed, XLA cost analysis):\n")
+        out.append("| component | ms | XLA GB | % of HBM roofline | MFU |")
+        out.append("|---|---|---|---|---|")
+        for r in rb["results"]:
+            out.append(f"| {r['name']} | {r['ms']:.2f} | "
+                       f"{r['xla_gbytes']:.2f} | {r['pct_of_roofline']} | "
+                       f"{r['mfu_pct']}% |")
+        out.append("")
+    sh = load("docs/scatter_shootout_v5e_b32.json")
+    if sh:
+        out.append("Scatter-max shootout (`docs/scatter_shootout_v5e_b32."
+                   "json`; the sorted-input MXU Pallas kernel is the bench "
+                   "default on TPU):\n")
+        out.append("| variant | ms |")
+        out.append("|---|---|")
+        for r in sh["results"]:
+            out.append(f"| {r['name']} | {r['ms']:.2f} |")
+        out.append("")
+    kt = load("docs/kd_tail_v5e_b32.json")
+    if kt:
+        out.append(f"KD-tail decomposition (`docs/kd_tail_v5e_b32.json`): "
+                   f"full step {kt['step_ms']['full']:.2f} ms; feature "
+                   f"matching {kt['feature_match_ms']:.2f} ms; logit KL "
+                   "~0 ms (fused into the tail).\n")
+    q = load("docs/quant_eval_v5e.json")
+    if q:
+        out.append(
+            f"Int8 (w8a8) PTQ serving path (`docs/quant_eval_v5e.json`): "
+            f"{q['quantized_convs']} convs quantized, decisive-argmax "
+            f"agreement {q['decisive_argmax_agreement']}; measured SLOWER "
+            f"({q['b32_ms_int8']:.2f} vs {q['b32_ms_base']:.2f} ms at "
+            "B=32) because the forward is memory-bound, so int8 stays a "
+            "correctness-complete opt-in (rationale in "
+            "lmsu_tpu/ops/quant.py).\n")
+    sv = load("docs/serving_bench_v5e.json")
+    if sv:
+        det = sv["detail"]
+        out.append("Online serving (`docs/serving_bench_v5e.json`, "
+                   f"B={det['batch_size']} engine, closed-loop):\n")
+        out.append("| concurrency | req/s | p50 ms | p99 ms |")
+        out.append("|---|---|---|---|")
+        for lv in det["levels"]:
+            out.append(f"| {lv['concurrency']} | {lv['throughput_rps']} | "
+                       f"{lv['latency_ms']['p50']} | "
+                       f"{lv['latency_ms']['p99']} |")
+        b1 = det.get("baseline_b1")
+        if b1:
+            out.append(f"| 1 (dedicated B=1 engine) | "
+                       f"{b1['throughput_rps']} | "
+                       f"{b1['latency_ms']['p50']} | "
+                       f"{b1['latency_ms']['p99']} |")
+        out.append("\nCeiling on this host is the 1-vCPU client side + "
+                   "relay transport, not the chip (~6,900 frames/s "
+                   "batched-eval capacity).\n")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--stdout", action="store_true")
+    args = ap.parse_args(argv)
+
+    out = [
+        "# RESULTS — consolidated experiment & measurement report",
+        "",
+        "Generated by `python scripts/summarize_experiments.py` from the "
+        "committed JSON artifacts (regenerate after adding experiments). "
+        "Benchmark: the hard synthetic fixture "
+        "(`lmsu_tpu/data/synthetic.py`, `difficulty=\"hard\"`) — "
+        "PandaSet-like class imbalance, cross-modal distractors, "
+        "occlusions, LiDAR dropout. All accuracy numbers are val mIoU; "
+        "all runs were executed on the real TPU v5e.",
+        "",
+    ]
+    section_kd_lift(out)
+    section_kd_sweep(out)
+    section_kd_variants(out)
+    section_kd_compression(out)
+    section_kd_crossarch(out)
+    section_fusion_ablation(out)
+    section_perf(out)
+    text = "\n".join(out).rstrip() + "\n"
+    if args.stdout:
+        sys.stdout.write(text)
+    else:
+        with open("RESULTS.md", "w") as f:
+            f.write(text)
+        print(f"wrote RESULTS.md ({len(text.splitlines())} lines)")
+
+
+if __name__ == "__main__":
+    main()
