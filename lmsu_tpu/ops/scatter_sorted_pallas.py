@@ -74,6 +74,19 @@ _SCAN_EARLY_EXIT = False  # guard each scan pass with lax.cond on "some run
 # the skipped passes save. Kept (with the equivalence tests) as the
 # documented closure of the data-adaptive-scan idea.
 _TILE = 128  # output cells per tile (MXU-native)
+_FWD_FLAT = False  # True = forward walks ONE flat, statically-bounded
+# chunk table (tile id + point offset per chunk, built by _chunk_table)
+# instead of the per-tile fori_loop with a dynamic trip count, and
+# max-accumulates each chunk's placement directly into the output block
+# (exact: candidates are one-hot selections and rounding to the output
+# dtype commutes with max). MEASURED SLOWER on v5e (B=32 N=5000 C=128
+# bf16, scripts/sweep_sorted_scatter.py "--variants 256:0:1,256:0:0,128:0:1"):
+# fwd 3.00 ms flat vs 2.12 ms nested (cw=128 flat 2.88) — the per-chunk
+# read-modify-write of the [128, C] output slice through VMEM plus the
+# init/cleanup passes cost more than the dynamic-trip-loop overhead they
+# remove; the nested kernel's register-resident accumulator wins. Kept
+# (equivalence-tested both ways) as the documented closure of the
+# flatten-the-loop idea.
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 << 20)
 
 
@@ -195,6 +208,58 @@ def _fwd_kernel(starts_ref, idx_ref, feat_ref, out_ref, *,
         out_ref[t * _TILE:t * _TILE + rows_t, :] = acc[:rows_t]
 
 
+def _fwd_kernel_flat(off_ref, tile_ref, idx_ref, feat_ref, out_ref, *,
+                     nchunks: int, out_dtype, align: int):
+    """Flat-chunk-table forward: one statically-bounded loop over
+    (tile, offset) pairs, max-accumulating into the output block.
+
+    out_ref is [hw_pad, C] with hw_pad a multiple of _TILE; rows >= hw are
+    scratch (the caller slices them away), which is also where sentinel
+    points (cell id == hw) land, so no masking is needed. Padding chunk
+    slots point at the all-sentinel tail with tile 0 and contribute
+    nothing. Exactness of the read-modify-write accumulate: candidates are
+    bf16 feature values selected by one-hot matmuls (f32 accumulate), and
+    rounding to the output dtype is monotone, so per-chunk rounding
+    commutes with the running max.
+    """
+    b = pl.program_id(0)
+    cw = _CW_FWD
+    fdt = feat_ref.dtype
+    vprec = _value_precision(fdt)
+    iota_cw = jax.lax.broadcasted_iota(jnp.int32, (cw, 1), 0)
+    oh_iota = jax.lax.broadcasted_iota(jnp.int32, (cw, _TILE), 1)
+    ones = jnp.ones((cw, 1), fdt)
+    out_ref[:] = jnp.full(out_ref.shape, -jnp.inf, out_ref.dtype)
+
+    def chunk(s, _):
+        offs = pl.multiple_of(off_ref[b, s], align)
+        t = tile_ref[b, s]
+        idxc = idx_ref[pl.ds(offs, cw), :]
+        x = feat_ref[pl.ds(offs, cw), :]
+        x = _segmented_chunk_max(x, idxc)
+        last = (idxc != jnp.roll(idxc, -1, axis=0)) | (iota_cw == cw - 1)
+        rows = idxc - t * _TILE
+        oh = ((oh_iota == rows) & last).astype(fdt)
+        cand = jax.lax.dot_general(
+            oh, x, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=vprec)
+        hits = jax.lax.dot_general(
+            oh, ones, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        r0 = pl.multiple_of(t * _TILE, _TILE)
+        cur = out_ref[pl.ds(r0, _TILE), :].astype(jnp.float32)
+        new = jnp.where(hits > 0, jnp.maximum(cur, cand), cur)
+        out_ref[pl.ds(r0, _TILE), :] = new.astype(out_dtype)
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, chunk, 0)
+    # Cleanup compares in f32: Mosaic has no bf16 vector eq on this target
+    # (isneginf lowers to cmpf eq), and the upcast is exact.
+    o = out_ref[:]
+    out_ref[:] = jnp.where(jnp.isneginf(o.astype(jnp.float32)),
+                           jnp.zeros_like(o), o)
+
+
 def _bwd_kernel(starts_ref, idx_ref, feat_ref, out_g_ref, dout_ref,
                 dsc_ref, *, ntiles: int, hw: int, n: int, align: int):
     """d_feat[p] = winner[p] * g[cell[p]] / ties[cell[p]] (dense-VJP parity).
@@ -306,17 +371,73 @@ def _prep(features, flat_idx, valid, hw):
     return idx_p[..., None], feat_p, starts, ntiles
 
 
+def _chunk_table(starts, ntiles, NP, align, cw):
+    """Flatten per-tile chunk spans into a static-length (offset, tile)
+    table per batch row.
+
+    starts [B, ntiles+1]; returns off [B, S], tile [B, S] int32 with
+    S = ntiles + ceil((NP + ntiles*(align-1)) / cw) — an upper bound on
+    sum_t ceil(span_t / cw) since alignment pull-down adds < align points
+    per tile. Slots past the real chunk count point at the all-sentinel
+    tail (offset NP - cw, tile 0) and contribute nothing in the kernel.
+    """
+    w0 = (starts[:, :-1] // align) * align
+    span = starts[:, 1:] - w0
+    nch = _cdiv(span, cw)
+    S = ntiles + _cdiv(NP + ntiles * (align - 1), cw)
+    cum = jnp.concatenate(
+        [jnp.zeros((starts.shape[0], 1), jnp.int32),
+         jnp.cumsum(nch, axis=1, dtype=jnp.int32)], axis=1)
+    s_iota = jnp.arange(S, dtype=jnp.int32)
+    tile = jax.vmap(
+        lambda c: jnp.searchsorted(c, s_iota, side="right").astype(jnp.int32)
+        - 1)(cum)
+    total = cum[:, -1:]
+    pad = s_iota[None, :] >= total
+    tile_c = jnp.clip(tile, 0, ntiles - 1)
+    j = s_iota[None, :] - jnp.take_along_axis(cum, tile_c, axis=1)
+    off = jnp.take_along_axis(w0, tile_c, axis=1) + j * cw
+    off = jnp.where(pad, NP - cw, off).astype(jnp.int32)
+    tile = jnp.where(pad, 0, tile_c).astype(jnp.int32)
+    return off, tile, S
+
+
 def _forward(features, flat_idx, valid, grid_size):
     B, N, C = features.shape
     H, W = grid_size
     hw = H * W
     idx_p, feat_p, starts, ntiles = _prep(features, flat_idx, valid, hw)
     NP = feat_p.shape[1]
+    align = _align(features.dtype)
     interpret = jax.default_backend() == "cpu"
+    if _FWD_FLAT:
+        off, tile, S = _chunk_table(starts, ntiles, NP, align, _CW_FWD)
+        hw_pad = ntiles * _TILE
+        out = pl.pallas_call(
+            functools.partial(_fwd_kernel_flat, nchunks=S,
+                              out_dtype=features.dtype, align=align),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(B,),
+                in_specs=[
+                    pl.BlockSpec((None, NP, 1), lambda b, off, tile: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((None, NP, C), lambda b, off, tile: (b, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((None, hw_pad, C),
+                                       lambda b, off, tile: (b, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, hw_pad, C), features.dtype),
+            compiler_params=_COMPILER_PARAMS,
+            interpret=interpret,
+        )(off, tile, idx_p, feat_p)
+        return out[:, :hw].reshape(B, H, W, C)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, ntiles=ntiles, hw=hw,
                           out_dtype=features.dtype,
-                          align=_align(features.dtype)),
+                          align=align),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B,),

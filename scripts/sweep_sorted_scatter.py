@@ -35,7 +35,9 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--out", default="/tmp/sorted_scatter_sweep.json")
     ap.add_argument("--variants", default="256:0,256:1,128:1,64:1",
-                    help="comma list of CW:EARLY (EARLY 0/1)")
+                    help="comma list of CW:EARLY[:FLAT] (EARLY/FLAT 0/1; "
+                    "FLAT = flat-chunk-table forward, defaults to the "
+                    "module's _FWD_FLAT)")
     args = ap.parse_args()
 
     import jax
@@ -72,10 +74,14 @@ def main():
 
     results = []
     for spec in args.variants.split(","):
-        cw_s, early_s = spec.split(":")
+        parts = spec.split(":")
+        cw_s, early_s = parts[0], parts[1]
         mod._CW_FWD = int(cw_s)
         mod._SCAN_EARLY_EXIT = bool(int(early_s))
-        tag = f"cw{cw_s}_early{early_s}"
+        if len(parts) > 2:
+            mod._FWD_FLAT = bool(int(parts[2]))
+        tag = (f"cw{cw_s}_early{early_s}"
+               f"_flat{int(mod._FWD_FLAT)}")
 
         # bitwise correctness on-chip for this variant
         got = jax.jit(lambda f: mod.bev_scatter_max_sorted_pallas(

@@ -207,10 +207,13 @@ class TestChunkWidthAndScanVariants:
 
     @pytest.mark.parametrize("cw_fwd", [64, 128, 256])
     @pytest.mark.parametrize("early_exit", [True, False])
-    def test_fwd_bwd_equivalent(self, rng, monkeypatch, cw_fwd, early_exit):
+    @pytest.mark.parametrize("flat", [True, False])
+    def test_fwd_bwd_equivalent(self, rng, monkeypatch, cw_fwd, early_exit,
+                                flat):
         import lmsu_tpu.ops.scatter_sorted_pallas as mod
         monkeypatch.setattr(mod, "_CW_FWD", cw_fwd)
         monkeypatch.setattr(mod, "_SCAN_EARLY_EXIT", early_exit)
+        monkeypatch.setattr(mod, "_FWD_FLAT", flat)
         feats, idx, valid, HW = _sorted_data(rng, B=2, N=500, C=8, HW=(6, 6))
         # splice in a 100-point single-cell run straddling chunk boundaries
         idx = idx.at[0, 100:200].set(idx[0, 100])
