@@ -124,18 +124,52 @@ class ServingEngine:
 
     @classmethod
     def from_predictor(cls, predictor, *, batch_size: int,
-                       max_delay_ms: float = 2.0, **kw) -> "ServingEngine":
+                       max_delay_ms: float = 2.0, mesh=None,
+                       **kw) -> "ServingEngine":
         """Serve a lmsu_tpu.inference.Predictor.
 
         The engine bypasses Predictor.__call__'s per-call host sort and
         instead applies the same sorter per-sample on client threads.
+
+        mesh: optional jax.sharding.Mesh for data-parallel inference —
+        the compiled batch is sharded over the mesh's first axis (params
+        replicated, XLA moves the shards and gathers the logits), so one
+        engine drives every device of a slice. batch_size must divide by
+        the device count. The single-program dynamic-batching design is
+        unchanged: bigger effective batch, same one executable.
         """
         cfg = predictor.config
-        fwd = predictor._forward
         variables = predictor.variables
+        if mesh is None:
+            fwd = predictor._forward
 
-        def forward(images, points, point_valid):
-            return fwd(variables, images, points, point_valid)
+            def forward(images, points, point_valid):
+                return fwd(variables, images, points, point_valid)
+        else:
+            import jax
+
+            from lmsu_tpu.parallel.mesh import (data_sharding, replicate,
+                                                replicated_sharding)
+            n_dev = int(mesh.devices.size)
+            if batch_size % n_dev:
+                raise ValueError(
+                    f"batch_size {batch_size} must be divisible by the "
+                    f"mesh device count {n_dev}")
+            dsh = data_sharding(mesh)
+            variables = replicate(predictor.variables, mesh)
+            model = predictor.model
+            sharded = jax.jit(
+                lambda v, i, p, pv: model.apply(v, i, p, train=False,
+                                                point_valid=pv),
+                in_shardings=(replicated_sharding(mesh), dsh, dsh, dsh),
+                out_shardings=dsh)
+
+            def forward(images, points, point_valid):
+                if point_valid is None:
+                    raise ValueError(
+                        "mesh serving requires point_valid batches "
+                        "(passes_point_valid=True)")
+                return sharded(variables, images, points, point_valid)
 
         kw.setdefault("image_size", getattr(cfg, "image_size", (256, 256)))
         return cls(forward, batch_size=batch_size, max_delay_ms=max_delay_ms,

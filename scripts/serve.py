@@ -54,10 +54,20 @@ def build_engine(args):
                       fusion_out_channels=args.fusion_channels)
     pred = Predictor.from_checkpoint(args.checkpoint, cfg, bf16=args.bf16,
                                      freeze_weights=args.freeze_weights)
+    mesh = None
+    if args.data_parallel:
+        import jax
+        import numpy as np
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if len(devs) < args.data_parallel:
+            sys.exit(f"ERROR: --data-parallel {args.data_parallel} but only "
+                     f"{len(devs)} devices visible")
+        mesh = Mesh(np.array(devs[:args.data_parallel]), ("data",))
     return ServingEngine.from_predictor(
         pred, batch_size=args.batch_size,
         image_size=tuple(args.image_size), num_points=args.num_points,
-        max_delay_ms=args.max_delay_ms)
+        max_delay_ms=args.max_delay_ms, mesh=mesh)
 
 
 def main(argv=None) -> None:
@@ -83,6 +93,10 @@ def main(argv=None) -> None:
     p.add_argument("--num-points", type=int, default=5000)
     p.add_argument("--no-point-valid", action="store_true",
                    help="artifact was exported without the mask input")
+    p.add_argument("--data-parallel", type=int, default=0, metavar="N",
+                   help="shard each compiled batch over the first N local "
+                   "devices (checkpoint backend only; batch-size must "
+                   "divide by N)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     p.add_argument("--verbose", action="store_true",

@@ -178,6 +178,35 @@ class TestEngine:
         assert mask.dtype == np.int32
 
 
+class TestMeshServing:
+    """Data-parallel serving: one engine shards its compiled batch over a
+    device mesh (params replicated, logits gathered by XLA). Results must
+    match the single-device Predictor on the same inputs."""
+
+    def _mesh(self, n=8):
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if len(devs) < n:
+            pytest.skip(f"needs {n} devices (conftest forces 8 on CPU)")
+        return Mesh(np.array(devs[:n]), ("data",))
+
+    def test_sharded_engine_matches_direct(self, predictor, rng):
+        mesh = self._mesh()
+        imgs, pts, pv = _frames(rng, 5)  # partial window: 5 -> pad to 8
+        want = np.asarray(predictor(imgs, pts, point_valid=pv))
+        with _engine(predictor, batch_size=8, mesh=mesh) as eng:
+            futs = [eng.submit(imgs[i], pts[i], pv[i]) for i in range(5)]
+            got = np.stack([f.result(timeout=300) for f in futs])
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        st = eng.stats()
+        assert st["requests"] == 5
+
+    def test_batch_must_divide_devices(self, predictor):
+        mesh = self._mesh()
+        with pytest.raises(ValueError, match="divisible"):
+            ServingEngine.from_predictor(predictor, batch_size=6, mesh=mesh)
+
+
 class TestHTTP:
     @pytest.fixture()
     def server(self, predictor):
