@@ -231,11 +231,23 @@ class ServingEngine:
 
     def warmup(self) -> None:
         """Trigger the one compile with a zero batch (pays the jit cost
-        up front instead of on the first request)."""
+        up front instead of on the first request), then reset the stats
+        counters so the compile-inclusive warmup latency (minutes on a
+        remote TPU) doesn't poison p95/p99/throughput."""
         zeros_i = np.zeros((1, *self.image_size, 3), self.image_dtype)
         zeros_p = np.zeros((1, self.num_points, 4), np.float32)
         self.predict(zeros_i[0], zeros_p[0],
                      np.zeros((self.num_points,), bool))
+        self.reset_stats()
+
+    def reset_stats(self) -> None:
+        with self._lock:
+            self._n_requests = 0
+            self._n_batches = 0
+            self._n_padded_rows = 0
+            self._latencies = []
+            self._t_first = None
+            self._t_last = None
 
     def stats(self) -> dict:
         with self._lock:
@@ -260,14 +272,37 @@ class ServingEngine:
         }
 
     def close(self, timeout: float = 10.0) -> None:
-        """Drain and stop. Pending requests are completed first."""
+        """Drain and stop. Queued requests are completed first; if the
+        dispatcher cannot drain within `timeout` (e.g. a stalled device
+        forward), remaining futures are failed with RuntimeError instead
+        of being silently abandoned."""
         if self._stop.is_set():
             return
         self._stop.set()
         self._queue.put(None)  # wake the dispatcher
         self._dispatcher.join(timeout)
-        self._done.put(None)
-        self._completer.join(timeout)
+        if not self._dispatcher.is_alive():
+            # Clean drain: the completer sentinel lands AFTER every
+            # dispatched batch (FIFO), so all in-flight futures resolve
+            # before it exits.
+            self._done.put(None)
+            self._completer.join(timeout)
+        # Fail anything left behind: requests that raced past the _stop
+        # check in submit() after the dispatcher exited, or everything
+        # still queued when the dispatcher failed to drain in time.
+        leftovers = []
+        try:
+            while True:
+                item = self._queue.get_nowait()
+                if item is not None:
+                    leftovers.append(item)
+        except queue.Empty:
+            pass
+        for req in leftovers:
+            if req.future.set_running_or_notify_cancel():
+                req.future.set_exception(
+                    RuntimeError("ServingEngine closed before this "
+                                 "request was dispatched"))
 
     def __enter__(self):
         return self
@@ -351,6 +386,15 @@ class ServingEngine:
             if not window:
                 if self._stop.is_set() and self._queue.empty():
                     return
+                continue
+            # Transition futures to RUNNING; a client that already
+            # cancelled drops out here, and nobody can cancel past this
+            # point — so the completer's set_result cannot race a
+            # cancellation (an uncaught InvalidStateError there would
+            # kill the completer thread and wedge the whole engine).
+            window = [r for r in window
+                      if r.future.set_running_or_notify_cancel()]
+            if not window:
                 continue
             n = len(window)
             images = np.zeros((B, *self.image_size, 3), self.image_dtype)

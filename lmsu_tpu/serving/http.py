@@ -78,8 +78,9 @@ def make_handler(engine: ServingEngine):
             self.end_headers()
             self.wfile.write(body)
 
-        def _send_json(self, code: int, obj) -> None:
-            self._send(code, json.dumps(obj).encode(), "application/json")
+        def _send_json(self, code: int, obj, extra_headers=()) -> None:
+            self._send(code, json.dumps(obj).encode(), "application/json",
+                       extra_headers)
 
         def do_GET(self):
             path = urlparse(self.path).path
@@ -114,12 +115,13 @@ def make_handler(engine: ServingEngine):
                 if kind == "npz":
                     self._send(200, _encode_npz(mask=mask), NPZ_TYPE, hdr)
                 else:
-                    self._send_json(200, {"mask": mask.tolist()})
+                    self._send_json(200, {"mask": mask.tolist()}, hdr)
             else:
                 if kind == "npz":
                     self._send(200, _encode_npz(logits=logits), NPZ_TYPE, hdr)
                 else:
-                    self._send_json(200, {"logits": np.asarray(logits).tolist()})
+                    self._send_json(200, {"logits": np.asarray(logits).tolist()},
+                                    hdr)
 
     return Handler
 

@@ -48,18 +48,24 @@ def run_load(engine, frames, concurrency, duration_s):
     stop = threading.Event()
     lock = threading.Lock()
     all_lats = []
+    errors = []
 
     def client(tid):
         lats = []
         i = tid  # offset so concurrent batches mix different frames
-        while not stop.is_set():
-            img, pts, pv = frames[i % len(frames)]
-            i += concurrency
-            t0 = time.monotonic()
-            engine.predict(img, pts, pv, timeout=600)
-            lats.append(time.monotonic() - t0)
-        with lock:
-            all_lats.extend(lats)
+        try:
+            while not stop.is_set():
+                img, pts, pv = frames[i % len(frames)]
+                i += concurrency
+                t0 = time.monotonic()
+                engine.predict(img, pts, pv, timeout=600)
+                lats.append(time.monotonic() - t0)
+        except Exception as e:  # surface backend failures, keep data
+            with lock:
+                errors.append(e)
+        finally:
+            with lock:
+                all_lats.extend(lats)
 
     threads = [threading.Thread(target=client, args=(t,), daemon=True)
                for t in range(concurrency)]
@@ -71,6 +77,10 @@ def run_load(engine, frames, concurrency, duration_s):
     for t in threads:
         t.join(timeout=600)
     wall = time.monotonic() - t_start
+    if errors:
+        raise RuntimeError(
+            f"{len(errors)} client thread(s) failed during the load run "
+            f"(first: {errors[0]!r}) — results would be corrupted")
     return all_lats, len(all_lats), wall
 
 

@@ -177,6 +177,31 @@ class TestEngine:
         np.testing.assert_array_equal(mask, np.argmax(logits, -1))
         assert mask.dtype == np.int32
 
+    def test_warmup_resets_stats(self, predictor, rng):
+        """The compile-inclusive warmup request must not poison the
+        latency/throughput counters."""
+        imgs, pts, pv = _frames(rng, 1)
+        with _engine(predictor) as eng:
+            eng.warmup()
+            st = eng.stats()
+            assert st["requests"] == 0 and st["batches"] == 0
+            eng.predict(imgs[0], pts[0], pv[0], timeout=120)
+            st = eng.stats()
+            assert st["requests"] == 1
+
+    def test_cancelled_future_does_not_wedge(self, predictor, rng):
+        """A client cancelling its queued Future must not kill the
+        completer thread; later requests still get served."""
+        imgs, pts, pv = _frames(rng, 3)
+        with _engine(predictor, max_delay_ms=300.0) as eng:
+            f1 = eng.submit(imgs[0], pts[0], pv[0])
+            f1.cancel()  # races the dispatcher's RUNNING transition —
+            # both outcomes must leave the engine healthy
+            out = eng.predict(imgs[1], pts[1], pv[1], timeout=120)
+            out2 = eng.predict(imgs[2], pts[2], pv[2], timeout=120)
+        assert out.shape == out2.shape
+        assert f1.cancelled() or f1.done()
+
 
 class TestMeshServing:
     """Data-parallel serving: one engine shards its compiled batch over a
