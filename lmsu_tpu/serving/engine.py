@@ -113,6 +113,8 @@ class ServingEngine:
         self._t_first = None
         self._t_last = None
 
+        self._swap = None  # set by from_predictor for hot-swappable weights
+
         self._dispatcher = threading.Thread(
             target=self._dispatch_loop, name="serving-dispatch", daemon=True)
         self._completer = threading.Thread(
@@ -137,14 +139,24 @@ class ServingEngine:
         engine drives every device of a slice. batch_size must divide by
         the device count. The single-program dynamic-batching design is
         unchanged: bigger effective batch, same one executable.
+
+        The returned engine supports swap_variables() — weights are a
+        runtime argument of the compiled forward (unless the Predictor
+        was built with freeze_weights=True), so a training loop can hot-
+        swap the serving model between batches with zero recompiles.
         """
         cfg = predictor.config
         variables = predictor.variables
         if mesh is None:
             fwd = predictor._forward
+            cell = {"v": variables}
 
             def forward(images, points, point_valid):
-                return fwd(variables, images, points, point_valid)
+                return fwd(cell["v"], images, points, point_valid)
+
+            def swap(new_vars):
+                import jax
+                cell["v"] = jax.device_put(new_vars)
         else:
             import jax
 
@@ -156,7 +168,7 @@ class ServingEngine:
                     f"batch_size {batch_size} must be divisible by the "
                     f"mesh device count {n_dev}")
             dsh = data_sharding(mesh)
-            variables = replicate(predictor.variables, mesh)
+            cell = {"v": replicate(predictor.variables, mesh)}
             model = predictor.model
             sharded = jax.jit(
                 lambda v, i, p, pv: model.apply(v, i, p, train=False,
@@ -169,11 +181,17 @@ class ServingEngine:
                     raise ValueError(
                         "mesh serving requires point_valid batches "
                         "(passes_point_valid=True)")
-                return sharded(variables, images, points, point_valid)
+                return sharded(cell["v"], images, points, point_valid)
+
+            def swap(new_vars):
+                cell["v"] = replicate(new_vars, mesh)
 
         kw.setdefault("image_size", getattr(cfg, "image_size", (256, 256)))
-        return cls(forward, batch_size=batch_size, max_delay_ms=max_delay_ms,
-                   sorter=predictor._sorter, **kw)
+        eng = cls(forward, batch_size=batch_size, max_delay_ms=max_delay_ms,
+                  sorter=predictor._sorter, **kw)
+        if not getattr(predictor, "_freeze_weights", False):
+            eng._swap = swap
+        return eng
 
     @classmethod
     def from_exported(cls, path: str, *, batch_size: int,
@@ -239,6 +257,23 @@ class ServingEngine:
         self.predict(zeros_i[0], zeros_p[0],
                      np.zeros((self.num_points,), bool))
         self.reset_stats()
+
+    def swap_variables(self, variables) -> None:
+        """Hot-swap the serving weights with zero recompiles.
+
+        Weights are a runtime argument of the compiled forward, so a
+        training loop can push each new checkpoint into a live engine
+        (e.g. serve the KD student while it distills). The swap is
+        atomic at batch granularity: the dispatcher reads the weight
+        cell once per batch, so every request sees one consistent set.
+        Unavailable for frozen-weight or exported backends (weights are
+        baked into those executables)."""
+        if self._swap is None:
+            raise RuntimeError(
+                "this engine's backend has weights baked into the "
+                "executable (freeze_weights/exported); rebuild the "
+                "engine to change them")
+        self._swap(variables)
 
     def reset_stats(self) -> None:
         with self._lock:

@@ -189,6 +189,29 @@ class TestEngine:
             st = eng.stats()
             assert st["requests"] == 1
 
+    def test_swap_variables_hot(self, tiny_cfg, predictor, rng):
+        """Pushing new weights into a live engine changes its outputs to
+        match a fresh Predictor on those weights — zero recompiles."""
+        imgs, pts, pv = _frames(rng, 1)
+        model = create_model(tiny_cfg)
+        v2 = init_model(model, jax.random.PRNGKey(7),
+                        image_size=IMG, num_points=NPTS)
+        want2 = np.asarray(Predictor(tiny_cfg, v2)(imgs, pts,
+                                                   point_valid=pv))
+        with _engine(predictor) as eng:
+            a = eng.predict(imgs[0], pts[0], pv[0], timeout=120)
+            eng.swap_variables(v2)
+            b = eng.predict(imgs[0], pts[0], pv[0], timeout=120)
+        np.testing.assert_allclose(b, want2[0], atol=1e-6)
+        assert not np.allclose(a, b)
+
+    def test_swap_refused_for_frozen(self, tiny_cfg, predictor):
+        frozen = Predictor(tiny_cfg, predictor.variables,
+                           freeze_weights=True)
+        with _engine(frozen) as eng:
+            with pytest.raises(RuntimeError, match="baked"):
+                eng.swap_variables(predictor.variables)
+
     def test_cancelled_future_does_not_wedge(self, predictor, rng):
         """A client cancelling its queued Future must not kill the
         completer thread; later requests still get served."""
