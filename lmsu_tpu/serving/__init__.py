@@ -7,7 +7,7 @@ dynamic micro-batching, async-dispatch pipelining, StableHLO-artifact
 backends. See engine.py for the design notes.
 """
 
-from lmsu_tpu.serving.engine import ServingEngine
+from lmsu_tpu.serving.engine import EngineOverloaded, ServingEngine
 from lmsu_tpu.serving.http import make_server
 
-__all__ = ["ServingEngine", "make_server"]
+__all__ = ["ServingEngine", "EngineOverloaded", "make_server"]

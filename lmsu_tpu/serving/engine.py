@@ -42,6 +42,12 @@ from typing import Callable, Optional, Sequence
 import numpy as np
 
 
+class EngineOverloaded(RuntimeError):
+    """Raised by submit()/predict() when the request queue is at
+    max_queue: shed load at the edge instead of growing host memory
+    without bound. The HTTP front-end maps this to 503."""
+
+
 def _percentile(sorted_vals: Sequence[float], q: float) -> float:
     if not sorted_vals:
         return float("nan")
@@ -91,7 +97,8 @@ class ServingEngine:
                  max_delay_ms: float = 2.0, max_inflight: int = 2,
                  image_dtype=np.uint8, passes_point_valid: bool = True,
                  sorter: Optional[Callable] = None,
-                 latency_window: int = 4096):
+                 latency_window: int = 4096,
+                 max_queue: int = 0):
         self._forward = forward
         self.batch_size = int(batch_size)
         self.image_size = tuple(image_size)
@@ -101,6 +108,11 @@ class ServingEngine:
         self.passes_point_valid = passes_point_valid
         self._sorter = sorter
 
+        # max_queue > 0 bounds admitted-but-undispatched requests; at the
+        # bound submit() raises EngineOverloaded (load shedding) rather
+        # than buffering frames without limit. 0 = unbounded (library
+        # default; the HTTP server sets a bound).
+        self.max_queue = int(max_queue)
         self._queue: "queue.Queue[Optional[_Pending]]" = queue.Queue()
         self._done: "queue.Queue" = queue.Queue(maxsize=max(1, max_inflight))
         self._stop = threading.Event()
@@ -226,6 +238,9 @@ class ServingEngine:
         thread."""
         if self._stop.is_set():
             raise RuntimeError("ServingEngine is closed")
+        if self.max_queue and self._queue.qsize() >= self.max_queue:
+            raise EngineOverloaded(
+                f"request queue at max_queue={self.max_queue}; retry later")
         image = self._prep_image(image)
         points, point_valid = self._prep_points(points, point_valid)
         pending = _Pending(image, points, point_valid)

@@ -11,6 +11,10 @@ Endpoints:
   percentiles).
 - ``GET /healthz`` — liveness.
 
+Error mapping: malformed input 400; body over MAX_BODY_BYTES 413; engine
+queue at its max_queue bound 503 (+Retry-After, load shedding); backend
+failure 500.
+
 ThreadingHTTPServer gives one thread per connection; request threads run
 the engine's per-sample preprocessing concurrently and block on the
 batched-forward future (the dynamic-batching engine turns those
@@ -27,13 +31,22 @@ from urllib.parse import parse_qs, urlparse
 
 import numpy as np
 
-from lmsu_tpu.serving.engine import ServingEngine
+from lmsu_tpu.serving.engine import EngineOverloaded, ServingEngine
 
 NPZ_TYPE = "application/x-npz"
+MAX_BODY_BYTES = 64 << 20  # one frame is ~0.3 MB npz; 64 MB is generous
+
+
+class _BodyTooLarge(ValueError):
+    pass
 
 
 def _decode_body(handler: BaseHTTPRequestHandler):
     length = int(handler.headers.get("Content-Length", 0))
+    if length > MAX_BODY_BYTES:
+        raise _BodyTooLarge(
+            f"request body {length} bytes exceeds the {MAX_BODY_BYTES}-byte "
+            "limit")
     body = handler.rfile.read(length)
     ctype = handler.headers.get("Content-Type", "")
     if ctype.startswith(NPZ_TYPE) or ctype.startswith("application/octet-stream"):
@@ -103,6 +116,13 @@ def make_handler(engine: ServingEngine):
                 logits = engine.predict(
                     data["image"], data["points"], data.get("point_valid"))
                 ms = (time.monotonic() - t0) * 1e3
+            except _BodyTooLarge as e:
+                self._send_json(413, {"error": str(e)})
+                return
+            except EngineOverloaded as e:
+                self._send(503, json.dumps({"error": str(e)}).encode(),
+                           "application/json", [("Retry-After", "1")])
+                return
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 self._send_json(400, {"error": str(e)})
                 return

@@ -40,7 +40,7 @@ def build_engine(args):
             num_points=args.num_points,
             image_size=tuple(args.image_size),
             with_point_valid=not args.no_point_valid,
-            max_delay_ms=args.max_delay_ms)
+            max_delay_ms=args.max_delay_ms, max_queue=args.max_queue)
     import os
 
     from lmsu_tpu.config import ModelConfig
@@ -67,7 +67,8 @@ def build_engine(args):
     return ServingEngine.from_predictor(
         pred, batch_size=args.batch_size,
         image_size=tuple(args.image_size), num_points=args.num_points,
-        max_delay_ms=args.max_delay_ms, mesh=mesh)
+        max_delay_ms=args.max_delay_ms, mesh=mesh,
+        max_queue=args.max_queue)
 
 
 def main(argv=None) -> None:
@@ -89,6 +90,9 @@ def main(argv=None) -> None:
                    "up to this")
     p.add_argument("--max-delay-ms", type=float, default=2.0,
                    help="batching window (max extra latency per request)")
+    p.add_argument("--max-queue", type=int, default=256,
+                   help="admitted-but-undispatched request bound; at the "
+                   "bound requests get 503 (load shedding). 0 = unbounded")
     p.add_argument("--image-size", type=int, nargs=2, default=(256, 256))
     p.add_argument("--num-points", type=int, default=5000)
     p.add_argument("--no-point-valid", action="store_true",

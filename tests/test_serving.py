@@ -226,6 +226,37 @@ class TestEngine:
         assert f1.cancelled() or f1.done()
 
 
+class TestBackpressure:
+    def test_engine_load_shedding(self, rng):
+        """With max_queue set, a flood of submits behind a stalled
+        forward raises EngineOverloaded instead of buffering without
+        bound; releasing the stall drains the admitted requests."""
+        import time as _time
+
+        from lmsu_tpu.serving import EngineOverloaded
+        release = threading.Event()
+
+        def slow_forward(i, p, pv):
+            release.wait(30)
+            return np.zeros((2, 8, 8, 2), np.float32)
+
+        eng = ServingEngine(slow_forward, batch_size=2, image_size=IMG,
+                            num_points=NPTS, max_delay_ms=1.0, max_queue=2)
+        imgs, pts, pv = _frames(rng, 4)
+        futs = []
+        try:
+            with pytest.raises(EngineOverloaded):
+                for i in range(12):
+                    futs.append(eng.submit(imgs[i % 4], pts[i % 4],
+                                           pv[i % 4]))
+                    _time.sleep(0.02)
+        finally:
+            release.set()
+            eng.close()
+        for f in futs:  # everything admitted still completes or fails loud
+            assert f.done()
+
+
 class TestMeshServing:
     """Data-parallel serving: one engine shards its compiled batch over a
     device mesh (params replicated, logits gathered by XLA). Results must
@@ -320,6 +351,14 @@ class TestHTTP:
         _, _, base = server
         with pytest.raises(AssertionError, match="HTTP 400"):
             self._post(base + "/v1/predict", b"not json",
+                       "application/json")
+
+    def test_body_too_large(self, server, monkeypatch):
+        import lmsu_tpu.serving.http as http_mod
+        monkeypatch.setattr(http_mod, "MAX_BODY_BYTES", 100)
+        _, _, base = server
+        with pytest.raises(AssertionError, match="HTTP 413"):
+            self._post(base + "/v1/predict", b"x" * 200,
                        "application/json")
 
 
