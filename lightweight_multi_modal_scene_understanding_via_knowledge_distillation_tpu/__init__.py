@@ -11,7 +11,8 @@ import sys
 
 import lmsu_tpu
 from lmsu_tpu import *  # noqa: F401,F403
-from lmsu_tpu import config, data, models, ops, parallel, training, utils
+from lmsu_tpu import (config, data, inference, models, ops, parallel,
+                      serving, training, utils)
 
 # Make `<long name>.models` style submodule imports resolve to lmsu_tpu's.
 _PREFIX = __name__
