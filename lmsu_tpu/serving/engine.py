@@ -74,6 +74,15 @@ class ServingEngine:
         constructed batch shape. Use the factory constructors for the
         common backends.
     batch_size: compiled batch size B. Partial windows are padded to B.
+    batch_sizes: optional ladder of compiled batch sizes (e.g. (1, 8,
+        32)); the dispatcher pads each window to the smallest rung that
+        fits, so a lone request rides the B=1 executable instead of
+        paying a full max-B pad transfer (measured 117 -> 32 ms p50 at
+        C=1 on the relay host). Still a finite, fixed set of shapes —
+        one compile per rung, zero steady-state recompiles. When given,
+        batch_size is ignored and the largest rung is the window bound.
+        Requires a shape-polymorphic backend (Predictor); exported
+        StableHLO artifacts are single-shape.
     image_size: (H, W) of the compiled input.
     num_points: N of the compiled point dimension; requests are padded
         (point_valid False on pads) or deterministically stride-subsampled
@@ -92,15 +101,24 @@ class ServingEngine:
         sort, data/rasterize.py::make_point_sorter) applied in submit().
     """
 
-    def __init__(self, forward: Callable, *, batch_size: int,
+    def __init__(self, forward: Callable, *, batch_size: Optional[int] = None,
                  image_size=(256, 256), num_points: int = 5000,
                  max_delay_ms: float = 2.0, max_inflight: int = 2,
                  image_dtype=np.uint8, passes_point_valid: bool = True,
                  sorter: Optional[Callable] = None,
                  latency_window: int = 4096,
-                 max_queue: int = 0):
+                 max_queue: int = 0,
+                 batch_sizes: Optional[Sequence[int]] = None):
         self._forward = forward
-        self.batch_size = int(batch_size)
+        if batch_sizes is None:
+            if batch_size is None:
+                raise ValueError("pass batch_size or batch_sizes")
+            batch_sizes = [batch_size]
+        rungs = sorted({int(b) for b in batch_sizes})
+        if not rungs or rungs[0] < 1:
+            raise ValueError(f"invalid batch_sizes {rungs}")
+        self.batch_sizes = tuple(rungs)
+        self.batch_size = rungs[-1]
         self.image_size = tuple(image_size)
         self.num_points = int(num_points)
         self.max_delay_s = float(max_delay_ms) / 1e3
@@ -120,6 +138,8 @@ class ServingEngine:
         self._n_requests = 0
         self._n_batches = 0
         self._n_padded_rows = 0
+        self._n_slot_rows = 0  # sum of dispatched rung sizes
+        self._batches_by_size = {}
         self._latencies = []  # seconds, ring-buffered
         self._latency_window = latency_window
         self._t_first = None
@@ -137,7 +157,7 @@ class ServingEngine:
     # -- construction ------------------------------------------------------
 
     @classmethod
-    def from_predictor(cls, predictor, *, batch_size: int,
+    def from_predictor(cls, predictor, *, batch_size: Optional[int] = None,
                        max_delay_ms: float = 2.0, mesh=None,
                        **kw) -> "ServingEngine":
         """Serve a lmsu_tpu.inference.Predictor.
@@ -175,10 +195,11 @@ class ServingEngine:
             from lmsu_tpu.parallel.mesh import (data_sharding, replicate,
                                                 replicated_sharding)
             n_dev = int(mesh.devices.size)
-            if batch_size % n_dev:
-                raise ValueError(
-                    f"batch_size {batch_size} must be divisible by the "
-                    f"mesh device count {n_dev}")
+            for b in (kw.get("batch_sizes") or [batch_size]):
+                if b is None or b % n_dev:
+                    raise ValueError(
+                        f"batch size {b} must be divisible by the "
+                        f"mesh device count {n_dev}")
             dsh = data_sharding(mesh)
             cell = {"v": replicate(predictor.variables, mesh)}
             model = predictor.model
@@ -216,6 +237,11 @@ class ServingEngine:
         specs (jax.export fixes them at serialization time), and the
         artifact takes float32 images.
         """
+        if kw.get("batch_sizes"):
+            raise ValueError(
+                "exported artifacts are single-shape; the batch-size "
+                "ladder needs a Predictor backend (or one artifact per "
+                "rung wired through a custom forward)")
         from lmsu_tpu.inference import load_exported
         call = load_exported(path)
         if with_point_valid:
@@ -263,13 +289,19 @@ class ServingEngine:
         return np.argmax(logits, axis=-1).astype(np.int32)
 
     def warmup(self) -> None:
-        """Trigger the one compile with a zero batch (pays the jit cost
-        up front instead of on the first request), then reset the stats
-        counters so the compile-inclusive warmup latency (minutes on a
-        remote TPU) doesn't poison p95/p99/throughput."""
-        zeros_i = np.zeros((1, *self.image_size, 3), self.image_dtype)
-        zeros_p = np.zeros((1, self.num_points, 4), np.float32)
-        self.predict(zeros_i[0], zeros_p[0],
+        """Compile every batch-size rung up front (one executable each)
+        instead of on first use, then reset the stats counters so
+        compile-inclusive latencies (minutes on a remote TPU) don't
+        poison p95/p99/throughput."""
+        for b in self.batch_sizes:
+            zi = np.zeros((b, *self.image_size, 3), self.image_dtype)
+            zp = np.zeros((b, self.num_points, 4), np.float32)
+            pv = (np.zeros((b, self.num_points), bool)
+                  if self.passes_point_valid else None)
+            np.asarray(self._forward(zi, zp, pv))
+        # one request through the full path (queue/dispatch/complete)
+        self.predict(np.zeros((*self.image_size, 3), self.image_dtype),
+                     np.zeros((self.num_points, 4), np.float32),
                      np.zeros((self.num_points,), bool))
         self.reset_stats()
 
@@ -295,6 +327,8 @@ class ServingEngine:
             self._n_requests = 0
             self._n_batches = 0
             self._n_padded_rows = 0
+            self._n_slot_rows = 0
+            self._batches_by_size = {}
             self._latencies = []
             self._t_first = None
             self._t_last = None
@@ -303,14 +337,17 @@ class ServingEngine:
         with self._lock:
             lat = sorted(self._latencies)
             n_req, n_b = self._n_requests, self._n_batches
-            n_pad = self._n_padded_rows
+            n_pad, n_slots = self._n_padded_rows, self._n_slot_rows
+            by_size = dict(self._batches_by_size)
             t0, t1 = self._t_first, self._t_last
         span = (t1 - t0) if (t0 is not None and t1 is not None) else 0.0
-        occupancy = (n_b * self.batch_size - n_pad) / max(1, n_b * self.batch_size)
+        occupancy = (n_slots - n_pad) / max(1, n_slots)
         return {
             "requests": n_req,
             "batches": n_b,
             "batch_size": self.batch_size,
+            "batch_sizes": list(self.batch_sizes),
+            "batches_by_size": by_size,
             "occupancy": round(occupancy, 4),
             "throughput_rps": round(n_req / span, 2) if span > 0 else None,
             "latency_ms": {
@@ -430,7 +467,6 @@ class ServingEngine:
         return window
 
     def _dispatch_loop(self):
-        B = self.batch_size
         while True:
             window = self._collect_window()
             if not window:
@@ -447,6 +483,9 @@ class ServingEngine:
             if not window:
                 continue
             n = len(window)
+            # Smallest ladder rung that fits: a lone request pays a B=1
+            # transfer+forward, a burst rides the big batch.
+            B = next(b for b in self.batch_sizes if b >= n)
             images = np.zeros((B, *self.image_size, 3), self.image_dtype)
             points = np.zeros((B, self.num_points, 4), np.float32)
             pvalid = np.zeros((B, self.num_points), bool)
@@ -464,6 +503,8 @@ class ServingEngine:
             with self._lock:
                 self._n_batches += 1
                 self._n_padded_rows += B - n
+                self._n_slot_rows += B
+                self._batches_by_size[B] = self._batches_by_size.get(B, 0) + 1
             # Hand off to the completer; jax dispatch was async, so this
             # thread immediately returns to stacking the next window while
             # the device crunches this one.

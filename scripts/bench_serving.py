@@ -94,7 +94,7 @@ def percentiles(lats):
             "p99": round(float(np.percentile(a, 99)), 3)}
 
 
-def build_engine(args, batch_size):
+def build_engine(args, batch_size, batch_sizes=None):
     import dataclasses
 
     import jax
@@ -135,7 +135,8 @@ def build_engine(args, batch_size):
                                image_size=(img_hw, img_hw), num_points=n_pts)
         pred = Predictor(cfg, variables)
     eng = ServingEngine.from_predictor(
-        pred, batch_size=batch_size, image_size=(img_hw, img_hw),
+        pred, batch_size=batch_size, batch_sizes=batch_sizes,
+        image_size=(img_hw, img_hw),
         num_points=n_pts, max_delay_ms=args.max_delay_ms,
         image_dtype=np.uint8)
     return eng, img_hw, n_pts, on_tpu, scatter or "xla"
@@ -146,6 +147,9 @@ def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--batch-size", type=int, default=32,
                     help="compiled engine batch (the bench eval shape)")
+    ap.add_argument("--batch-sizes", type=int, nargs="+", default=None,
+                    help="batch-size ladder for the main engine (one "
+                    "compile per rung); overrides --batch-size")
     ap.add_argument("--max-delay-ms", type=float, default=2.0)
     ap.add_argument("--concurrency", type=int, nargs="+",
                     default=[1, 8, 32, 64])
@@ -171,8 +175,8 @@ def main(argv=None) -> None:
     import numpy as np
 
     rng = np.random.default_rng(7)
-    engine, img_hw, n_pts, on_tpu, scatter = build_engine(args,
-                                                          args.batch_size)
+    engine, img_hw, n_pts, on_tpu, scatter = build_engine(
+        args, args.batch_size, batch_sizes=args.batch_sizes)
     frames = make_frame_pool(rng, args.frames, img_hw, n_pts)
     print(f"backend={'tpu' if on_tpu else 'cpu'} B={args.batch_size} "
           f"window={args.max_delay_ms}ms scatter={scatter} "
@@ -188,7 +192,8 @@ def main(argv=None) -> None:
         row = {"concurrency": c, "completed": completed,
                "throughput_rps": round(completed / wall, 2),
                "latency_ms": percentiles(lats),
-               "occupancy_cum": st["occupancy"]}
+               "occupancy_cum": st["occupancy"],
+               "batches_by_size_cum": st["batches_by_size"]}
         levels.append(row)
         print(f"C={c:4d}: {row['throughput_rps']:9.1f} req/s   "
               f"p50 {row['latency_ms']['p50']} ms   "
@@ -212,6 +217,7 @@ def main(argv=None) -> None:
         "value": best["throughput_rps"],
         "unit": "req/s",
         "detail": {"batch_size": args.batch_size,
+                   "batch_sizes": args.batch_sizes,
                    "max_delay_ms": args.max_delay_ms,
                    "scatter_impl": scatter,
                    "backend": "tpu" if on_tpu else "cpu",

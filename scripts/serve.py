@@ -65,7 +65,7 @@ def build_engine(args):
                      f"{len(devs)} devices visible")
         mesh = Mesh(np.array(devs[:args.data_parallel]), ("data",))
     return ServingEngine.from_predictor(
-        pred, batch_size=args.batch_size,
+        pred, batch_size=args.batch_size, batch_sizes=args.batch_sizes,
         image_size=tuple(args.image_size), num_points=args.num_points,
         max_delay_ms=args.max_delay_ms, mesh=mesh,
         max_queue=args.max_queue)
@@ -88,6 +88,12 @@ def main(argv=None) -> None:
     p.add_argument("--batch-size", type=int, default=8,
                    help="compiled batch size; requests are micro-batched "
                    "up to this")
+    p.add_argument("--batch-sizes", type=int, nargs="+", default=None,
+                   metavar="B",
+                   help="batch-size ladder, e.g. 1 8 32: each window is "
+                   "padded to the smallest rung that fits (one compile "
+                   "per rung; checkpoint backend only). Overrides "
+                   "--batch-size")
     p.add_argument("--max-delay-ms", type=float, default=2.0,
                    help="batching window (max extra latency per request)")
     p.add_argument("--max-queue", type=int, default=256,

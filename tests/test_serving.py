@@ -189,6 +189,35 @@ class TestEngine:
             st = eng.stats()
             assert st["requests"] == 1
 
+    def test_batch_size_ladder(self, predictor, rng):
+        """With batch_sizes=(1,2,4), a lone request rides the B=1
+        executable (no pad transfer) and a burst rides bigger rungs;
+        every result still matches the direct Predictor."""
+        imgs, pts, pv = _frames(rng, 5)
+        want = np.asarray(predictor(imgs, pts, point_valid=pv))
+        with _engine(predictor, batch_size=None, batch_sizes=(1, 2, 4),
+                     max_delay_ms=100.0) as eng:
+            a = eng.predict(imgs[0], pts[0], pv[0], timeout=120)
+            st = eng.stats()
+            assert st["batches_by_size"] == {1: 1}
+            assert st["occupancy"] == 1.0
+            futs = [eng.submit(imgs[i], pts[i], pv[i]) for i in range(5)]
+            got = np.stack([f.result(timeout=120) for f in futs])
+        np.testing.assert_allclose(a, want[0], atol=1e-6)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        st = eng.stats()
+        assert set(st["batches_by_size"]) <= {1, 2, 4}
+        assert st["requests"] == 6
+
+    def test_ladder_rejected_for_exported(self, tmp_path, predictor):
+        art = tmp_path / "m.stablehlo"
+        predictor.export(str(art), batch_size=1, num_points=NPTS,
+                         image_size=IMG)
+        with pytest.raises(ValueError, match="single-shape"):
+            ServingEngine.from_exported(str(art), batch_size=1,
+                                        num_points=NPTS, image_size=IMG,
+                                        batch_sizes=(1, 2))
+
     def test_swap_variables_hot(self, tiny_cfg, predictor, rng):
         """Pushing new weights into a live engine changes its outputs to
         match a fresh Predictor on those weights — zero recompiles."""
