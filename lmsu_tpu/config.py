@@ -174,6 +174,65 @@ class DataConfig:
 
 
 @dataclass(frozen=True)
+class AugmentConfig:
+    """Device-side, jitted training-data augmentation (no reference analog:
+    the reference trains on raw samples only). All terms run INSIDE the
+    jitted train step (ops/augment.py) — fixed shapes, per-(step, sample)
+    randomness derived from `fold_in(seed, state.step)`, so every epoch-loop
+    variant (per-batch, scan_steps, onchip_epoch) augments identically and
+    resume is deterministic. Validation is never augmented.
+
+    Geometric: `hflip_prob` mirrors the world laterally (x -> x_min+x_max-x)
+    consistently across ALL modalities — image width axis, point x, and the
+    BEV label grid. The rasterizer's floor(norm*(W-1)) cell mapping is NOT
+    symmetric under reflection (cell c maps to W-2-c, not W-1-c), so the
+    label flip uses the exact transform (ops/augment.py::flip_bev_labels)
+    and the aligned image flip shifts by one BEV cell to match; the vacated
+    last label column becomes ignore_index. A naive all-axes `[::-1]` flip
+    would misalign LiDAR evidence from labels by a full cell (1.56 m) on
+    every flipped sample.
+
+    Compatibility rules (enforced by the trainers):
+      * terms that move/drop points (hflip, point_dropout, point_jitter_xy)
+        break the pre-sorted input contract of scatter_impl="sorted_pallas";
+      * hflip breaks KDConfig.cache_teacher (cached teacher taps are
+        spatial maps of the UNflipped world). Photometric terms and point
+        dropout/z-jitter compose with the cached teacher as noisy-student
+        KD (teacher targets from clean inputs, student sees augmented ones).
+    """
+
+    enabled: bool = False
+    # Lateral world mirror, applied per sample with this probability.
+    hflip_prob: float = 0.0
+    # "aligned": mirror + one-BEV-cell shift — exact for top-down renders
+    # whose image columns tile BEV columns (the synthetic datasets).
+    # "mirror": plain mirror — for perspective cameras (PandaSet front cam),
+    # where no exact pixel<->cell correspondence exists anyway.
+    flip_image_mode: str = "aligned"
+    brightness: float = 0.0        # per-sample additive delta ~ U(-b, b)
+    contrast: float = 0.0          # per-sample scale ~ exp(U(-c, c)) about the mean
+    image_noise_std: float = 0.0   # per-pixel gaussian noise
+    point_dropout: float = 0.0     # per-point drop probability
+    point_jitter_xy: float = 0.0   # gaussian std on x/y (meters)
+    point_jitter_z: float = 0.0    # gaussian std on z (meters)
+    intensity_jitter: float = 0.0  # gaussian std on intensity
+    seed_offset: int = 0x5EED      # decorrelates augment rng from init rng
+
+    @property
+    def moves_points(self) -> bool:
+        """True if any term changes point cell assignment or validity —
+        incompatible with the sorted_pallas input contract."""
+        return (self.hflip_prob > 0 or self.point_dropout > 0
+                or self.point_jitter_xy > 0)
+
+    @property
+    def spatial(self) -> bool:
+        """True if any term moves scene geometry — incompatible with
+        cached-teacher KD (spatially-mapped taps)."""
+        return self.hflip_prob > 0
+
+
+@dataclass(frozen=True)
 class KDConfig:
     """Teacher->student distillation loss (north star; no reference analog).
 
@@ -255,6 +314,7 @@ class TrainConfig:
     # on chained-dispatch paths (scan_steps shows per-chunk updates instead).
     progress: bool = False
     kd: KDConfig = field(default_factory=KDConfig)
+    augment: AugmentConfig = field(default_factory=AugmentConfig)
 
 
 @dataclass(frozen=True)

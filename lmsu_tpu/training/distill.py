@@ -141,6 +141,9 @@ class DistillationTrainer(Trainer):
             return loss, (mut["batch_stats"], cm, parts)
 
         def train_step(state: TrainState, batch):
+            # In-loop teacher: teacher and student both consume the
+            # augmented batch (kd_loss_fn runs the teacher on `batch`).
+            batch = self._augmented(state, batch)
             (loss, (new_stats, cm, parts)), grads = jax.value_and_grad(
                 kd_loss_fn, has_aux=True)(state.params, state.batch_stats,
                                           batch)
@@ -188,7 +191,13 @@ class DistillationTrainer(Trainer):
         def precached_update(state: TrainState, batch, t_logits, t_feats):
             """Train step with the teacher's outputs already gathered for
             this batch — shared by the HBM (device take) and host-RAM
-            (numpy gather) cache paths."""
+            (numpy gather) cache paths.
+
+            Augmentation composes as noisy-student KD: the cache was filled
+            from CLEAN inputs, the student sees the augmented batch.
+            Spatial terms are rejected at build time (check_augment_compat)
+            because the cached taps are spatial maps of the clean world."""
+            batch = self._augmented(state, batch)
             def loss_fn(params, batch_stats):
                 kwargs = {}
                 if "point_valid" in batch:

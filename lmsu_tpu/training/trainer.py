@@ -29,6 +29,7 @@ from flax import struct
 
 from lmsu_tpu.config import ExperimentConfig
 from lmsu_tpu.models import create_model, init_model
+from lmsu_tpu.ops.augment import augment_batch, check_augment_compat
 from lmsu_tpu.ops.losses import weighted_cross_entropy
 from lmsu_tpu.ops.metrics import confusion_matrix, iou_from_confusion
 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -71,6 +72,8 @@ class Trainer:
         self.model = model if model is not None else create_model(config.model)
 
         tc = config.train
+        check_augment_compat(tc.augment, config.model.lidar.scatter_impl,
+                             cache_teacher=tc.kd.cache_teacher)
         if tc.debug_nans:  # process-global; see TrainConfig.debug_nans note
             jax.config.update("jax_debug_nans", True)
             jax.config.update("jax_debug_infs", True)
@@ -101,6 +104,21 @@ class Trainer:
 
     # -- jitted steps ------------------------------------------------------
 
+    def _augmented(self, state: "TrainState", batch):
+        """Apply TrainConfig.augment inside the jitted train step (identity
+        when disabled). Keyed by state.step, so the per-batch, scan_steps,
+        and onchip_epoch loops all see the same augmentation stream and
+        resume reproduces it (ops/augment.py)."""
+        aug = self.config.train.augment
+        if not aug.enabled:
+            return batch
+        rng = jax.random.fold_in(
+            jax.random.PRNGKey(self.config.train.seed ^ aug.seed_offset),
+            state.step)
+        return augment_batch(rng, batch, aug,
+                             pc_range=self.config.data.pc_range,
+                             ignore_index=self.config.train.ignore_index)
+
     def _loss_and_metrics(self, params, batch_stats, batch, train: bool):
         variables = {"params": params, "batch_stats": batch_stats}
         kwargs = dict(train=train)
@@ -128,6 +146,8 @@ class Trainer:
         dsh = data_sharding(self.mesh)
 
         def train_step(state: TrainState, batch):
+            batch = self._augmented(state, batch)
+
             def loss_fn(params):
                 return self._loss_and_metrics(params, state.batch_stats,
                                               batch, train=True)

@@ -76,10 +76,55 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="BEV scatter-max algorithm (LidarEncoderConfig."
                    "scatter_impl); 'sorted_pallas' also turns on the "
                    "pipeline's by-cell point sorting")
+    p.add_argument("--augment", action="store_true",
+                   help="enable the standard device-side augmentation "
+                   "recipe: hflip 0.5, brightness/contrast 0.1, image "
+                   "noise 0.02, point dropout 0.05 (ops/augment.py; "
+                   "individual knobs via --aug-*)")
+    p.add_argument("--aug-hflip", type=float, default=None,
+                   help="lateral mirror probability (implies --augment)")
+    p.add_argument("--aug-brightness", type=float, default=None)
+    p.add_argument("--aug-contrast", type=float, default=None)
+    p.add_argument("--aug-image-noise", type=float, default=None)
+    p.add_argument("--aug-point-dropout", type=float, default=None)
+    p.add_argument("--aug-point-jitter-xy", type=float, default=None)
+    p.add_argument("--aug-flip-image-mode", default=None,
+                   choices=["aligned", "mirror"],
+                   help="'aligned' for top-down-aligned cameras "
+                   "(synthetic), 'mirror' for perspective cameras")
+
+
+#: The standard augmentation recipe --augment enables (see ops/augment.py;
+#: hflip requires a non-sorted scatter impl — check_augment_compat enforces).
+STANDARD_AUGMENT = dict(enabled=True, hflip_prob=0.5, brightness=0.1,
+                        contrast=0.1, image_noise_std=0.02,
+                        point_dropout=0.05)
+
+
+def _augment_from_args(args):
+    """Build an AugmentConfig from --augment/--aug-* flags (None if off)."""
+    from lmsu_tpu.config import AugmentConfig
+    knobs = {"hflip_prob": getattr(args, "aug_hflip", None),
+             "brightness": getattr(args, "aug_brightness", None),
+             "contrast": getattr(args, "aug_contrast", None),
+             "image_noise_std": getattr(args, "aug_image_noise", None),
+             "point_dropout": getattr(args, "aug_point_dropout", None),
+             "point_jitter_xy": getattr(args, "aug_point_jitter_xy", None),
+             "flip_image_mode": getattr(args, "aug_flip_image_mode", None)}
+    explicit = {k: v for k, v in knobs.items() if v is not None}
+    if not getattr(args, "augment", False) and not explicit:
+        return None
+    base = dict(STANDARD_AUGMENT) if getattr(args, "augment", False) \
+        else {"enabled": True}
+    base.update(explicit)
+    return AugmentConfig(**base)
 
 
 def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
     data_kw, train_kw = {}, {}
+    aug = _augment_from_args(args)
+    if aug is not None:
+        train_kw["augment"] = aug
     if args.data_root is not None:
         data_kw["root"] = args.data_root
     if args.dataset is not None:
