@@ -281,6 +281,16 @@ class TrainConfig:
     weight_decay: float = 1e-3
     num_epochs: int = 20
     eta_min: float = 1e-5
+    # Clip gradients to this global L2 norm before AdamW (None = off; the
+    # reference never clips). Applied to the whole grad pytree, including
+    # KD projection grads under distillation.
+    grad_clip_norm: Optional[float] = None
+    # Exponential moving average of the trainable params, updated on-chip
+    # each step: ema = d*ema + (1-d)*params. When set, validation, best-
+    # checkpoint selection, and inference-side loading
+    # (checkpoint.load_model_variables) all use the EMA weights; BatchNorm
+    # running stats are already an EMA and are shared. None = off.
+    ema_decay: Optional[float] = None
     class_weights: Optional[Tuple[float, ...]] = (0.4, 3.5)
     ignore_index: int = -1
     save_dir: str = "checkpoints/run"

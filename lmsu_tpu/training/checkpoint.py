@@ -53,10 +53,14 @@ def load_checkpoint_raw(path: str) -> Dict[str, Any]:
 
 def load_model_variables(path: str) -> Dict[str, Any]:
     """Extract {'params', 'batch_stats'} flax variables from a trainer
-    checkpoint, accepting both plain and KD ({'model','proj'}) layouts."""
+    checkpoint, accepting both plain and KD ({'model','proj'}) layouts.
+
+    Runs trained with TrainConfig.ema_decay selected their best checkpoint
+    by EMA-weight validation, so the EMA shadow (when present) is what
+    inference must load to reproduce the recorded val mIoU."""
     raw = load_checkpoint_raw(path)
     state = raw["state"]
-    params = state["params"]
+    params = state.get("ema_params") or state["params"]
     if isinstance(params, dict) and set(params) == {"model", "proj"}:
         params = params["model"]
     return {"params": params, "batch_stats": state["batch_stats"]}
@@ -71,7 +75,20 @@ def load_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     tpl = dict(template)
     tpl.setdefault("epoch", np.int64(0))
     tpl.setdefault("val_miou", np.float64(0.0))
-    return serialization.from_bytes(tpl, data)
+    raw = serialization.msgpack_restore(data)
+    st = raw.get("state")
+    if isinstance(st, dict):
+        tpl_ema = getattr(tpl.get("state"), "ema_params", None)
+        if tpl_ema is None:
+            # EMA-off trainer: drop any stored shadow (and tolerate
+            # pre-EMA checkpoints that lack the key entirely).
+            st["ema_params"] = None
+        elif st.get("ema_params") is None:
+            # EMA-on trainer resuming a pre-EMA / EMA-off checkpoint:
+            # seed the shadow from the restored params (copies — the
+            # donated train step forbids params/ema buffer aliasing).
+            st["ema_params"] = jax.tree_util.tree_map(np.copy, st["params"])
+    return serialization.from_state_dict(tpl, raw)
 
 
 class HistoryWriter:

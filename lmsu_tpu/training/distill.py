@@ -36,7 +36,7 @@ from lmsu_tpu.ops.losses import kd_total_loss
 from lmsu_tpu.ops.metrics import confusion_matrix
 from lmsu_tpu.parallel.mesh import (data_sharding, replicate,
                                     replicated_sharding)
-from lmsu_tpu.training.trainer import Trainer, TrainState
+from lmsu_tpu.training.trainer import Trainer, TrainState, update_ema
 
 
 def _tap_channels(model, config: ModelConfig) -> Dict[str, int]:
@@ -102,7 +102,12 @@ class DistillationTrainer(Trainer):
         params = {"model": base.params, "proj": self._init_projections()}
         state = TrainState(step=base.step, params=params,
                            batch_stats=base.batch_stats,
-                           opt_state=self.tx.init(params))
+                           opt_state=self.tx.init(params),
+                           # copy: donation forbids params/ema aliasing
+                           ema_params=(jax.tree_util.tree_map(jnp.copy,
+                                                              params)
+                                       if self.config.train.ema_decay
+                                       is not None else None))
         self.state = replicate(state, self.mesh)
 
         rep = replicated_sharding(self.mesh)
@@ -150,14 +155,17 @@ class DistillationTrainer(Trainer):
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(step=state.step + 1, params=params,
-                                      batch_stats=new_stats,
-                                      opt_state=opt_state)
+            new_state = state.replace(
+                step=state.step + 1, params=params, batch_stats=new_stats,
+                opt_state=opt_state,
+                ema_params=update_ema(self.config.train.ema_decay,
+                                      state.ema_params, params))
             return new_state, loss, cm, parts
 
         def eval_step(state: TrainState, batch):
             loss, (_, _, cm) = self._loss_and_metrics(
-                state.params["model"], state.batch_stats, batch, train=False)
+                self._eval_params(state)["model"], state.batch_stats, batch,
+                train=False)
             return loss, cm
 
         self.train_step_kd = jax.jit(train_step, in_shardings=(rep, dsh),
@@ -228,9 +236,11 @@ class DistillationTrainer(Trainer):
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(step=state.step + 1, params=params,
-                                      batch_stats=new_stats,
-                                      opt_state=opt_state)
+            new_state = state.replace(
+                step=state.step + 1, params=params, batch_stats=new_stats,
+                opt_state=opt_state,
+                ema_params=update_ema(self.config.train.ema_decay,
+                                      state.ema_params, params))
             return new_state, loss, cm, parts
 
         def train_step_cached(state: TrainState, batch, cache):

@@ -47,14 +47,30 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    # EMA of params (TrainConfig.ema_decay); None when EMA is off — the
+    # pytree structure then matches pre-EMA checkpoints.
+    ema_params: Any = None
 
 
 def make_optimizer(config, steps_per_epoch: int) -> optax.GradientTransformation:
     """AdamW over ALL params (the reference decays BN affine too —
-    trainer.py:56 passes model.parameters() undifferentiated)."""
+    trainer.py:56 passes model.parameters() undifferentiated), optionally
+    preceded by global-norm gradient clipping (TrainConfig.grad_clip_norm)."""
     schedule = cosine_epoch_schedule(config.lr, config.eta_min,
                                      config.num_epochs, steps_per_epoch)
-    return optax.adamw(schedule, weight_decay=config.weight_decay)
+    tx = optax.adamw(schedule, weight_decay=config.weight_decay)
+    if config.grad_clip_norm is not None:
+        tx = optax.chain(optax.clip_by_global_norm(config.grad_clip_norm), tx)
+    return tx
+
+
+def update_ema(ema_decay: Optional[float], ema_params, new_params):
+    """One on-chip EMA step (identity when disabled)."""
+    if ema_decay is None:
+        return ema_params
+    d = ema_decay
+    return jax.tree_util.tree_map(lambda e, p: d * e + (1.0 - d) * p,
+                                  ema_params, new_params)
 
 
 class Trainer:
@@ -88,7 +104,11 @@ class Trainer:
             step=jnp.zeros((), jnp.int32),
             params=variables["params"],
             batch_stats=variables["batch_stats"],
-            opt_state=self.tx.init(variables["params"]))
+            opt_state=self.tx.init(variables["params"]),
+            # Distinct buffers: params/ema must not alias or the donated
+            # train step would donate the same buffer twice.
+            ema_params=(jax.tree_util.tree_map(jnp.copy, variables["params"])
+                        if tc.ema_decay is not None else None))
         self.state = replicate(state, self.mesh)
 
         self.class_weights = (jnp.asarray(tc.class_weights, jnp.float32)
@@ -118,6 +138,13 @@ class Trainer:
         return augment_batch(rng, batch, aug,
                              pc_range=self.config.data.pc_range,
                              ignore_index=self.config.train.ignore_index)
+
+    def _eval_params(self, state: "TrainState"):
+        """Weights validation/inference evaluates: the EMA shadow when
+        TrainConfig.ema_decay is set, else the live params."""
+        if self.config.train.ema_decay is not None:
+            return state.ema_params
+        return state.params
 
     def _loss_and_metrics(self, params, batch_stats, batch, train: bool):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -156,14 +183,17 @@ class Trainer:
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             params = optax.apply_updates(state.params, updates)
-            new_state = state.replace(step=state.step + 1, params=params,
-                                      batch_stats=new_stats,
-                                      opt_state=opt_state)
+            new_state = state.replace(
+                step=state.step + 1, params=params, batch_stats=new_stats,
+                opt_state=opt_state,
+                ema_params=update_ema(self.config.train.ema_decay,
+                                      state.ema_params, params))
             return new_state, loss, cm
 
         def eval_step(state: TrainState, batch):
             loss, (_, _, cm) = self._loss_and_metrics(
-                state.params, state.batch_stats, batch, train=False)
+                self._eval_params(state), state.batch_stats, batch,
+                train=False)
             return loss, cm
 
         self.train_step = jax.jit(train_step, in_shardings=(rep, dsh),

@@ -76,6 +76,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="BEV scatter-max algorithm (LidarEncoderConfig."
                    "scatter_impl); 'sorted_pallas' also turns on the "
                    "pipeline's by-cell point sorting")
+    p.add_argument("--grad-clip-norm", type=float, default=None,
+                   help="clip gradients to this global L2 norm")
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="maintain an EMA of the params on-chip; validation/"
+                   "best-checkpoint/inference use the EMA weights")
     p.add_argument("--augment", action="store_true",
                    help="enable the standard device-side augmentation "
                    "recipe: hflip 0.5, brightness/contrast 0.1, image "
@@ -149,6 +154,10 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         train_kw["seed"] = args.seed
     if getattr(args, "scan_steps", None) is not None:
         train_kw["scan_steps"] = args.scan_steps
+    if getattr(args, "grad_clip_norm", None) is not None:
+        train_kw["grad_clip_norm"] = args.grad_clip_norm
+    if getattr(args, "ema_decay", None) is not None:
+        train_kw["ema_decay"] = args.ema_decay
     if getattr(args, "onchip_epoch", False):
         train_kw["onchip_epoch"] = True
     if getattr(args, "progress", False):

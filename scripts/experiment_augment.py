@@ -211,6 +211,9 @@ def main(argv=None) -> dict:
     per_seed = {}
     for seed in args.seeds:
         per_seed[str(seed)] = run_seed(seed, args, baselines)
+        # Incremental dump: a crash in a later seed keeps finished arms.
+        with open(args.output + ".partial", "w") as f:
+            json.dump(per_seed, f, indent=2)
 
     results = summarize(per_seed, args)
     with open(args.output, "w") as f:

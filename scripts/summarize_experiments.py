@@ -190,6 +190,42 @@ def section_kd_crossarch(out):
                "pt).\n")
 
 
+def section_augment(out):
+    d = load("augment_results.json")
+    if not d:
+        return
+    a = d["config"]["augment"]
+    out.append("## Device-side augmentation lift (paired with the KD-lift "
+               "arms)\n")
+    out.append(
+        "`augment_results.json` — scripts/experiment_augment.py; the "
+        "standard recipe (hflip "
+        f"{a['hflip_prob']}, brightness/contrast {a['brightness']}/"
+        f"{a['contrast']}, noise {a['image_noise_std']}, point dropout "
+        f"{a['point_dropout']}) jitted into the train step "
+        "(ops/augment.py), same regime/seeds as the KD-lift table so "
+        "gaps are paired per seed.\n")
+    out.append("| seed | student | +aug | +KD | +KD+aug | aug gap | "
+               "KD+aug vs KD |")
+    out.append("|---|---|---|---|---|---|---|")
+    for s, r in sorted(d["per_seed"].items()):
+        ag = r["student_aug"] - r["student"]
+        kg = r["student_kd_aug"] - r["student_kd"]
+        out.append(
+            f"| {s} | {f4(r['student'])} | {f4(r['student_aug'])} | "
+            f"{f4(r['student_kd'])} | {f4(r['student_kd_aug'])} | "
+            f"{'+' if ag >= 0 else ''}{pct(ag)} pt | "
+            f"{'+' if kg >= 0 else ''}{pct(kg)} pt |")
+    out.append(
+        f"\nAugmentation alone: mean {'+' if d['aug_gap_mean'] >= 0 else ''}"
+        f"{pct(d['aug_gap_mean'])} pt (min "
+        f"{'+' if d['aug_gap_min'] >= 0 else ''}{pct(d['aug_gap_min'])}); "
+        f"on top of KD: mean "
+        f"{'+' if d['aug_on_top_of_kd_mean'] >= 0 else ''}"
+        f"{pct(d['aug_on_top_of_kd_mean'])} pt; combined vs plain student: "
+        f"mean +{pct(d['kd_aug_gap_mean'])} pt.\n")
+
+
 def section_fusion_ablation(out):
     d = load("fusion_ablation_hard_seeded.json")
     if not d:
@@ -315,6 +351,7 @@ def main(argv=None):
     section_kd_variants(out)
     section_kd_compression(out)
     section_kd_crossarch(out)
+    section_augment(out)
     section_fusion_ablation(out)
     section_perf(out)
     text = "\n".join(out).rstrip() + "\n"

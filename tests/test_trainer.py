@@ -222,3 +222,120 @@ class TestSchedule:
                 step = epoch * spe + s
                 assert float(ours(step)) == pytest.approx(torch_lr, rel=1e-6)
             sched.step()
+
+
+class TestEmaAndGradClip:
+    """TrainConfig.ema_decay / grad_clip_norm (no reference analog — the
+    reference trainer has neither; these are standard production-trainer
+    features the rebuild adds)."""
+
+    def test_grad_clip_wiring_matches_manual_clip(self):
+        import jax.numpy as jnp
+        import optax
+        from lmsu_tpu.training.trainer import make_optimizer
+        import dataclasses as dc
+        from lmsu_tpu.config import TrainConfig
+        tc_clip = TrainConfig(grad_clip_norm=1.0)
+        tc_plain = TrainConfig()
+        params = {"w": jnp.ones(4), "b": jnp.ones(2)}
+        g = {"w": jnp.full(4, 100.0), "b": jnp.full(2, 50.0)}
+        norm = float(optax.global_norm(g))
+        g_clipped = jax.tree_util.tree_map(lambda x: x / norm, g)
+
+        tx_c = make_optimizer(tc_clip, steps_per_epoch=1)
+        tx_p = make_optimizer(tc_plain, steps_per_epoch=1)
+        u_c, _ = tx_c.update(g, tx_c.init(params), params)
+        u_p, _ = tx_p.update(g_clipped, tx_p.init(params), params)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+            u_c, u_p)
+
+    def test_ema_recurrence_and_distinct_eval_weights(self, tmp_path):
+        import dataclasses as dc
+        import jax.numpy as jnp
+        from lmsu_tpu.parallel.mesh import shard_batch
+        cfg = _tiny_config(tmp_path, num_epochs=1)
+        cfg = cfg.replace(train=dc.replace(cfg.train, ema_decay=0.5))
+        trainer = _make_trainer(cfg)
+        p0 = jax.device_get(trainer.state.params)
+        jax.tree_util.tree_map(  # shadow initialized to params
+            np.testing.assert_array_equal, p0,
+            jax.device_get(trainer.state.ema_params))
+
+        batch = next(iter(trainer.train_loader))
+        state, _, _ = trainer.train_step(trainer.state,
+                                         shard_batch(batch, trainer.mesh))
+        p1 = jax.device_get(state.params)
+        ema1 = jax.device_get(state.ema_params)
+        expect = jax.tree_util.tree_map(lambda a, b: 0.5 * a + 0.5 * b,
+                                        p0, p1)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-6),
+            ema1, expect)
+
+    def test_ema_checkpoint_roundtrip_and_inference_prefers_ema(self,
+                                                                tmp_path):
+        import dataclasses as dc
+        from lmsu_tpu.training import checkpoint as ckpt
+        cfg = _tiny_config(tmp_path, num_epochs=1)
+        cfg = cfg.replace(train=dc.replace(cfg.train, ema_decay=0.9))
+        t1 = _make_trainer(cfg)
+        t1.train(log=lambda *a, **k: None)
+        ema_before = jax.device_get(t1.state.ema_params)
+
+        t2 = _make_trainer(cfg)
+        t2.load_checkpoint(os.path.join(cfg.train.save_dir, "latest.ckpt"))
+        jax.tree_util.tree_map(np.testing.assert_array_equal, ema_before,
+                               jax.device_get(t2.state.ema_params))
+
+        # inference loads the EMA shadow (best-mIoU was measured with it)
+        variables = ckpt.load_model_variables(
+            os.path.join(cfg.train.save_dir, "latest.ckpt"))
+        jax.tree_util.tree_map(np.testing.assert_array_equal, ema_before,
+                               variables["params"])
+
+    def test_pre_ema_checkpoint_formats_restore(self, tmp_path):
+        """Checkpoints written before the ema_params field existed restore
+        into both EMA-off (shadow None) and EMA-on (seeded) trainers."""
+        import dataclasses as dc
+        from flax import serialization
+        cfg = _tiny_config(tmp_path, num_epochs=1)
+        t1 = _make_trainer(cfg)
+        t1.train(log=lambda *a, **k: None)
+        path = os.path.join(cfg.train.save_dir, "latest.ckpt")
+        with open(path, "rb") as f:
+            raw = serialization.msgpack_restore(f.read())
+        assert raw["state"].pop("ema_params") is None  # simulate old format
+        with open(path, "wb") as f:
+            f.write(serialization.msgpack_serialize(raw))
+
+        t2 = _make_trainer(cfg)  # EMA off
+        t2.load_checkpoint(path)
+        assert t2.state.ema_params is None
+
+        cfg_ema = cfg.replace(train=dc.replace(cfg.train, ema_decay=0.9))
+        t3 = _make_trainer(cfg_ema)
+        t3.load_checkpoint(path)
+        jax.tree_util.tree_map(  # shadow seeded from restored params
+            np.testing.assert_array_equal,
+            jax.device_get(t3.state.params),
+            jax.device_get(t3.state.ema_params))
+
+    def test_kd_trainer_with_ema_and_clip(self, tmp_path):
+        import dataclasses as dc
+        from lmsu_tpu.config import KDConfig
+        from lmsu_tpu.training.distill import DistillationTrainer
+        cfg = _tiny_config(tmp_path, num_epochs=1)
+        cfg = cfg.replace(train=dc.replace(
+            cfg.train, ema_decay=0.9, grad_clip_norm=1.0,
+            kd=KDConfig(enabled=True, teacher_width_mult=2.0)))
+        train_ds, val_ds = create_datasets(cfg.data)
+        trainer = DistillationTrainer(
+            cfg,
+            make_loader(train_ds, cfg.data.batch_size, shuffle=True,
+                        seed=cfg.train.seed),
+            make_loader(val_ds, cfg.data.batch_size, shuffle=False))
+        best = trainer.train(log=lambda *a, **k: None)
+        assert 0.0 <= best <= 1.0
+        ema = jax.device_get(trainer.state.ema_params)
+        assert set(ema) == {"model", "proj"}
