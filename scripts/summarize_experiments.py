@@ -205,25 +205,48 @@ def section_augment(out):
         f"{a['point_dropout']}) jitted into the train step "
         "(ops/augment.py), same regime/seeds as the KD-lift table so "
         "gaps are paired per seed.\n")
-    out.append("| seed | student | +aug | +KD | +KD+aug | aug gap | "
-               "KD+aug vs KD |")
-    out.append("|---|---|---|---|---|---|---|")
+    has_noisy = any("student_kd_noisy" in r for r in d["per_seed"].values())
+    hdr = "| seed | teacher | student | +aug | +KD | +KD+aug (in-loop)"
+    sep = "|---|---|---|---|---|---|"
+    if has_noisy:
+        hdr += " | noisy-student KD"
+        sep += "---|"
+    out.append(hdr + " |")
+    out.append(sep)
     for s, r in sorted(d["per_seed"].items()):
-        ag = r["student_aug"] - r["student"]
-        kg = r["student_kd_aug"] - r["student_kd"]
-        out.append(
-            f"| {s} | {f4(r['student'])} | {f4(r['student_aug'])} | "
-            f"{f4(r['student_kd'])} | {f4(r['student_kd_aug'])} | "
-            f"{'+' if ag >= 0 else ''}{pct(ag)} pt | "
-            f"{'+' if kg >= 0 else ''}{pct(kg)} pt |")
+        row = (f"| {s} | {f4(r['teacher'])} | {f4(r['student'])} | "
+               f"{f4(r['student_aug'])} | {f4(r['student_kd'])} | "
+               f"{f4(r['student_kd_aug'])}")
+        if has_noisy:
+            n = r.get("student_kd_noisy")
+            row += f" | **{f4(n)}**" if n is not None else " | —"
+        out.append(row + " |")
     out.append(
         f"\nAugmentation alone: mean {'+' if d['aug_gap_mean'] >= 0 else ''}"
         f"{pct(d['aug_gap_mean'])} pt (min "
-        f"{'+' if d['aug_gap_min'] >= 0 else ''}{pct(d['aug_gap_min'])}); "
-        f"on top of KD: mean "
+        f"{'+' if d['aug_gap_min'] >= 0 else ''}{pct(d['aug_gap_min'])}) — "
+        "it helps the weak/overfitting seeds most. Naive in-loop KD+aug "
+        "is a wash on top of KD (mean "
         f"{'+' if d['aug_on_top_of_kd_mean'] >= 0 else ''}"
-        f"{pct(d['aug_on_top_of_kd_mean'])} pt; combined vs plain student: "
-        f"mean +{pct(d['kd_aug_gap_mean'])} pt.\n")
+        f"{pct(d['aug_on_top_of_kd_mean'])} pt): the teacher never trained "
+        "on augmented inputs, so flipping/noising its input degrades its "
+        "targets.\n")
+    if has_noisy:
+        rows = {s: r for s, r in d["per_seed"].items()
+                if "student_kd_noisy" in r}
+        beats_t = sum(r["student_kd_noisy"] > r["teacher"]
+                      for r in rows.values())
+        out.append(
+            "**Noisy-student KD** (scripts/experiment_augment_noisy.py: "
+            "cached CLEAN-input teacher targets + photometric/dropout "
+            "student augmentation — the composition the compatibility "
+            "rules recommend) is the best student recipe measured: beats "
+            "plain KD on every seed (" + ", ".join(
+                f"+{pct(r['student_kd_noisy'] - r['student_kd'])}"
+                for _, r in sorted(rows.items()))
+            + f" pt), mean +{pct(d['noisy_gap_mean'])} pt over the plain "
+            f"student, and EXCEEDS ITS OWN TEACHER on {beats_t}/"
+            f"{len(rows)} seeds.\n")
 
 
 def section_fusion_ablation(out):
