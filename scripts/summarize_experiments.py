@@ -249,6 +249,34 @@ def section_augment(out):
             f"{len(rows)} seeds.\n")
 
 
+def section_ema(out):
+    d = load("ema_results.json")
+    if not d:
+        return
+    decay = d["config"]["ema_decay"]
+    out.append("## EMA weights: measured and closed (neutral here)\n")
+    out.append(
+        f"`ema_results.json` — scripts/experiment_ema.py; "
+        f"TrainConfig.ema_decay={decay} in the same paired regime "
+        "(validation and best-checkpointing read the EMA shadow).\n")
+    out.append("| seed | student | +EMA | gap | +aug | +aug+EMA | gap |")
+    out.append("|---|---|---|---|---|---|---|")
+    for s, r in sorted(d["per_seed"].items()):
+        g1 = r["student_ema"] - r["student"]
+        g2 = r["student_aug_ema"] - r["student_aug"]
+        out.append(
+            f"| {s} | {f4(r['student'])} | {f4(r['student_ema'])} | "
+            f"{'+' if g1 >= 0 else ''}{pct(g1)} pt | "
+            f"{f4(r['student_aug'])} | {f4(r['student_aug_ema'])} | "
+            f"{'+' if g2 >= 0 else ''}{pct(g2)} pt |")
+    out.append(
+        f"\nAt decay {decay} over ~520 steps EMA is a wash to slightly "
+        "negative (-0.7 to +0.2 pt): cosine annealing already averages "
+        "the endpoint, and best-epoch checkpointing on a 40-epoch run "
+        "captures the same stability EMA would. Stays a tested opt-in "
+        "for long/noisy runs; not part of the best recipe.\n")
+
+
 def section_fusion_ablation(out):
     d = load("fusion_ablation_hard_seeded.json")
     if not d:
@@ -375,6 +403,7 @@ def main(argv=None):
     section_kd_compression(out)
     section_kd_crossarch(out)
     section_augment(out)
+    section_ema(out)
     section_fusion_ablation(out)
     section_perf(out)
     text = "\n".join(out).rstrip() + "\n"
