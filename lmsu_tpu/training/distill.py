@@ -36,7 +36,8 @@ from lmsu_tpu.ops.losses import kd_total_loss
 from lmsu_tpu.ops.metrics import confusion_matrix
 from lmsu_tpu.parallel.mesh import (data_sharding, replicate,
                                     replicated_sharding)
-from lmsu_tpu.training.trainer import Trainer, TrainState, update_ema
+from lmsu_tpu.training.trainer import (Trainer, TrainState, update_ema,
+                                       _EpochAccumulator)
 
 
 def _tap_channels(model, config: ModelConfig) -> Dict[str, int]:
@@ -419,33 +420,31 @@ class DistillationTrainer(Trainer):
             return self._run_epoch_scanned_kd(loader, K)
         if not train and K > 1:
             return self._run_epoch_eval_scanned(loader, K)
-        total_loss, n = 0.0, 0
-        cm_total = np.zeros((self.config.train.metrics_num_classes,) * 2,
-                            np.int64)
+        acc = _EpochAccumulator()
         for batch in loader:
             if train and self.teacher_cache_host is not None:
                 t_batch = self._gather_host_teacher(batch)
                 self.state, loss, cm, parts = self.train_step_kd_precached(
                     self.state, shard_batch(batch, self.mesh),
                     shard_batch(t_batch, self.mesh))
-                self.last_loss_parts = {k: float(v) for k, v in parts.items()}
+                self.last_loss_parts = parts
             elif train and self.teacher_cache is not None:
                 batch = shard_batch(batch, self.mesh)
                 self.state, loss, cm, parts = self.train_step_kd_cached(
                     self.state, batch, self.teacher_cache)
-                self.last_loss_parts = {k: float(v) for k, v in parts.items()}
+                self.last_loss_parts = parts
             elif train:
                 batch = shard_batch(batch, self.mesh)
                 self.state, loss, cm, parts = self.train_step_kd(self.state,
                                                                  batch)
-                self.last_loss_parts = {k: float(v) for k, v in parts.items()}
+                self.last_loss_parts = parts
             else:
                 batch = shard_batch(batch, self.mesh)
                 loss, cm = self.eval_step(self.state, batch)
-            total_loss += float(loss)
-            cm_total += np.asarray(cm, np.int64)
-            n += 1
-        return total_loss / max(n, 1), iou_from_confusion(cm_total)
+            acc.push(loss, cm, 1)
+        mean_loss, cm_total = acc.finish(
+            self.config.train.metrics_num_classes)
+        return mean_loss, iou_from_confusion(cm_total)
 
     def _run_epoch_scanned_kd(self, loader, K: int):
         from lmsu_tpu.parallel.mesh import shard_batch, shard_scan_chunk
@@ -473,7 +472,7 @@ class DistillationTrainer(Trainer):
                 self.state, losses, cm, parts = self.train_scan_kd(
                     self.state,
                     shard_scan_chunk(stacked, self.mesh, self._scan_sharding))
-            self.last_loss_parts = {k: float(v) for k, v in parts.items()}
+            self.last_loss_parts = parts
             return losses, cm
 
         def step_call(batch):
@@ -489,7 +488,7 @@ class DistillationTrainer(Trainer):
             else:
                 self.state, loss, cm, parts = self.train_step_kd(
                     self.state, shard_batch(batch, self.mesh))
-            self.last_loss_parts = {k: float(v) for k, v in parts.items()}
+            self.last_loss_parts = parts
             return loss, cm
 
         return self._run_epoch_chunks(loader, K, scan_call, step_call)

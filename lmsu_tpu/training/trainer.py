@@ -73,6 +73,53 @@ def update_ema(ema_decay: Optional[float], ema_params, new_params):
                                   ema_params, new_params)
 
 
+class _EpochAccumulator:
+    """Lag-1 accumulator for device-side (loss, confusion-matrix) results.
+
+    Converting a step's outputs to host values right after dispatching it
+    blocks the host until the device finishes, serializing the next
+    chunk's host work (numpy stack, teacher-cache gather, transfer)
+    behind the current chunk's compute. Holding ONE in-flight result and
+    converting it only after the next dispatch restores the overlap
+    (double buffering): chunk k-1's conversion completes essentially for
+    free while chunk k runs, and the host immediately moves on to
+    preparing chunk k+1.
+    """
+
+    def __init__(self):
+        self.total_loss = 0.0
+        self.n = 0
+        self.cm = None
+        self._inflight = None
+
+    def push(self, loss_like, cm, count: int) -> None:
+        """Record a dispatched step/scan result; loss_like may be a scalar
+        or a [K] per-step loss vector (summed on conversion)."""
+        prev, self._inflight = self._inflight, (loss_like, cm, count)
+        if prev is not None:
+            self._convert(prev)
+
+    def _convert(self, item) -> None:
+        loss_like, cm, count = item
+        self.total_loss += float(jnp.sum(loss_like))
+        c = np.asarray(cm, np.int64)
+        self.cm = c if self.cm is None else self.cm + c
+        self.n += count
+
+    @property
+    def mean_loss(self) -> float:
+        """Mean over the steps already converted (lags one dispatch)."""
+        return self.total_loss / max(self.n, 1)
+
+    def finish(self, num_classes: int) -> Tuple[float, np.ndarray]:
+        if self._inflight is not None:
+            self._convert(self._inflight)
+            self._inflight = None
+        if self.cm is None:
+            self.cm = np.zeros((num_classes, num_classes), np.int64)
+        return self.mean_loss, self.cm
+
+
 class Trainer:
     """Epoch-loop orchestrator with the reference's external contract."""
 
@@ -240,6 +287,24 @@ class Trainer:
 
     # -- epoch loops -------------------------------------------------------
 
+    @property
+    def last_loss_parts(self) -> Dict[str, float]:
+        """Loss components of the most recent KD train step, as floats.
+
+        The step loops store the raw device scalars (assignment goes
+        through the setter) so recording them never forces a device sync
+        inside the epoch loop; conversion happens on first read.
+        """
+        raw = getattr(self, "_last_loss_parts_raw", {})
+        if raw and not isinstance(next(iter(raw.values())), float):
+            raw = {k: float(v) for k, v in raw.items()}
+            self._last_loss_parts_raw = raw
+        return raw
+
+    @last_loss_parts.setter
+    def last_loss_parts(self, parts) -> None:
+        self._last_loss_parts_raw = dict(parts)
+
     def _run_epoch(self, loader, train: bool) -> Tuple[float, Dict]:
         n_batches = len(loader) if hasattr(loader, "__len__") else None
         if train:  # measure input-pipeline stall (SURVEY §7 hard-part (e))
@@ -265,23 +330,20 @@ class Trainer:
             return self._run_epoch_scanned(loader, K)
         if not train and K > 1:
             return self._run_epoch_eval_scanned(loader, K)
-        total_loss, n_batches = 0.0, 0
-        cm_total = np.zeros((self.config.train.metrics_num_classes,) * 2,
-                            np.int64)
+        acc = _EpochAccumulator()
         for batch in loader:
             batch = shard_batch(batch, self.mesh)
             if train:
                 self.state, loss, cm = self.train_step(self.state, batch)
             else:
                 loss, cm = self.eval_step(self.state, batch)
-            total_loss += float(loss)
-            cm_total += np.asarray(cm, np.int64)
-            n_batches += 1
+            acc.push(loss, cm, 1)
             if hasattr(loader, "set_postfix"):
-                loader.set_postfix(loss=f"{total_loss / n_batches:.4f}",
+                loader.set_postfix(loss=f"{acc.mean_loss:.4f}",
                                    refresh=False)
-        metrics = iou_from_confusion(cm_total)
-        return total_loss / max(n_batches, 1), metrics
+        mean_loss, cm_total = acc.finish(
+            self.config.train.metrics_num_classes)
+        return mean_loss, iou_from_confusion(cm_total)
 
     def _run_epoch_scanned(self, loader, K: int) -> Tuple[float, Dict]:
         def scan_call(stacked):
@@ -318,21 +380,18 @@ class Trainer:
         host batches let callbacks gather per-sample side data (e.g. the
         host-RAM teacher cache) before the transfer. Leftover batches (< K
         at the epoch tail) run through step_call, so any epoch length works
-        without recompilation."""
-        total_loss, n_batches = 0.0, 0
-        cm_total = np.zeros((self.config.train.metrics_num_classes,) * 2,
-                            np.int64)
+        without recompilation. Results drain with a one-chunk lag
+        (_EpochAccumulator) so the host prepares chunk k+1 while the
+        device runs chunk k."""
+        acc = _EpochAccumulator()
         pending = []
 
         def flush_chunk(chunk):
-            nonlocal total_loss, n_batches, cm_total
             stacked = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
             losses, cm = scan_call(stacked)
-            total_loss += float(jnp.sum(losses))
-            cm_total += np.asarray(cm, np.int64)
-            n_batches += len(chunk)
+            acc.push(losses, cm, len(chunk))
             if hasattr(loader, "set_postfix"):  # per-chunk progress update
-                loader.set_postfix(loss=f"{total_loss / n_batches:.4f}",
+                loader.set_postfix(loss=f"{acc.mean_loss:.4f}",
                                    refresh=False)
 
         for batch in loader:
@@ -342,10 +401,10 @@ class Trainer:
                 pending = []
         for batch in pending:  # epoch tail
             loss, cm = step_call(batch)
-            total_loss += float(loss)
-            cm_total += np.asarray(cm, np.int64)
-            n_batches += 1
-        return total_loss / max(n_batches, 1), iou_from_confusion(cm_total)
+            acc.push(loss, cm, 1)
+        mean_loss, cm_total = acc.finish(
+            self.config.train.metrics_num_classes)
+        return mean_loss, iou_from_confusion(cm_total)
 
     # -- on-chip whole-epoch loop (TrainConfig.onchip_epoch) ----------------
 
@@ -417,7 +476,7 @@ class Trainer:
                                                          self._onchip_data,
                                                          jnp.asarray(perm))
         if parts:  # KD step: keep last_loss_parts live (distill.py)
-            self.last_loss_parts = {k: float(v) for k, v in parts.items()}
+            self.last_loss_parts = parts
         self.last_host_stall_frac = 0.0
         return float(jnp.mean(losses)), iou_from_confusion(
             np.asarray(cm, np.int64))
