@@ -14,6 +14,12 @@ This script runs the composed arm — cached clean teacher, NOISY_AUGMENT
 student, temperature 4 — on the same seeds/regime as every committed
 arm (same teacher checkpoints from experiment_augment.py), appending
 `student_kd_noisy_t4` into augment_results.json so all gaps stay paired.
+
+With --width w != 1 the STUDENT shrinks (teacher_config scaling, as in
+experiment_kd_compression.py) while the teacher stays the trained 2x
+model — the maximally-compressed best recipe; the arm key gains a
+`_w{w}` suffix and is comparable against kd_compression_results.json's
+same-seed w rows.
 """
 
 import argparse
@@ -29,10 +35,14 @@ from scripts.common import (add_common_args, apply_env_platform,
 from scripts.experiment_augment import _base_config
 from scripts.experiment_augment_noisy import NOISY_AUGMENT
 
-from lmsu_tpu.config import AugmentConfig, KDConfig
+from lmsu_tpu.config import AugmentConfig, KDConfig, teacher_config
 from lmsu_tpu.training import DistillationTrainer
 
 ARM = "student_kd_noisy_t4"
+
+
+def arm_key(args) -> str:
+    return ARM if args.width == 1.0 else f"{ARM}_w{args.width:g}"
 
 
 def run_seed(seed: int, args) -> float:
@@ -49,14 +59,22 @@ def run_seed(seed: int, args) -> float:
                   # cache HBM-resident (spilling costs 242 s/epoch over the
                   # relay — see ROADMAP operational note).
                   cache_hbm_limit_bytes=6 << 30)
-    cfg = base.replace(train=dataclasses.replace(
-        base.train, seed=seed, kd=kd, augment=AugmentConfig(**NOISY_AUGMENT),
-        onchip_epoch=False, scan_steps=13,
-        save_dir=f"checkpoints/best_recipe_s{seed}"))
-    print(f"\n=== seed {seed}: noisy-student KD, T={args.temperature} ===",
-          flush=True)
+    student_model = base.model if args.width == 1.0 \
+        else teacher_config(base.model, args.width)
+    tag = "" if args.width == 1.0 else f"_w{args.width:g}"
+    cfg = base.replace(
+        model=student_model,
+        train=dataclasses.replace(
+            base.train, seed=seed, kd=kd,
+            augment=AugmentConfig(**NOISY_AUGMENT),
+            onchip_epoch=False, scan_steps=13,
+            save_dir=f"checkpoints/best_recipe{tag}_s{seed}"))
+    print(f"\n=== seed {seed}: noisy-student KD, T={args.temperature}, "
+          f"width {args.width:g} ===", flush=True)
     train_loader, val_loader = build_loaders(cfg)
-    trainer = DistillationTrainer(cfg, train_loader, val_loader)
+    trainer = DistillationTrainer(
+        cfg, train_loader, val_loader,
+        teacher_model_config=teacher_config(base.model, args.teacher_width))
     return trainer.train()
 
 
@@ -67,37 +85,47 @@ def main(argv=None):
     p.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     p.add_argument("--teacher-width", type=float, default=2.0)
     p.add_argument("--temperature", type=float, default=4.0)
+    p.add_argument("--width", type=float, default=1.0,
+                   help="student width multiplier (1.0 = reference size)")
     p.add_argument("--output", default="augment_results.json")
     args = p.parse_args(argv)
+    key = arm_key(args)
 
     with open(args.output) as f:
         results = json.load(f)
 
     for seed in args.seeds:
         best = run_seed(seed, args)
-        results["per_seed"][str(seed)][ARM] = best
+        results["per_seed"][str(seed)][key] = best
         with open(args.output, "w") as f:
             json.dump(results, f, indent=2)
-        print(f"seed {seed}: {ARM} {best:.4f}")
+        print(f"seed {seed}: {key} {best:.4f}")
 
-    rows = {s: r for s, r in results["per_seed"].items() if ARM in r}
-    vs_t2 = {s: r[ARM] - r["student_kd_noisy"] for s, r in rows.items()}
-    vs_teacher = {s: r[ARM] - r["teacher"] for s, r in rows.items()}
+    rows = {s: r for s, r in results["per_seed"].items() if key in r}
+    vs_teacher = {s: r[key] - r["teacher"] for s, r in rows.items()}
     results["config"]["best_recipe_temperature"] = args.temperature
-    results["best_recipe_vs_noisy_t2"] = {s: round(g, 4)
-                                          for s, g in vs_t2.items()}
-    results["best_recipe_vs_noisy_t2_mean"] = round(
-        sum(vs_t2.values()) / len(vs_t2), 4)
+    print(f"\n=== best recipe (noisy-student KD, T={args.temperature}, "
+          f"width {args.width:g}) ===")
+    if args.width == 1.0:
+        vs_t2 = {s: r[key] - r["student_kd_noisy"] for s, r in rows.items()}
+        results["best_recipe_vs_noisy_t2"] = {s: round(g, 4)
+                                              for s, g in vs_t2.items()}
+        results["best_recipe_vs_noisy_t2_mean"] = round(
+            sum(vs_t2.values()) / len(vs_t2), 4)
+        for s in sorted(rows):
+            r = rows[s]
+            print(f"seed {s}: teacher {r['teacher']:.4f}  noisy(T=2) "
+                  f"{r['student_kd_noisy']:.4f}  noisy(T=4) {r[key]:.4f}  "
+                  f"(vs T=2 {vs_t2[s]:+.4f}, vs teacher "
+                  f"{vs_teacher[s]:+.4f})")
+        print("vs noisy T=2: mean "
+              f"{results['best_recipe_vs_noisy_t2_mean']:+.4f}")
+    else:
+        for s in sorted(rows):
+            print(f"seed {s}: teacher {rows[s]['teacher']:.4f}  {key} "
+                  f"{rows[s][key]:.4f} (vs teacher {vs_teacher[s]:+.4f})")
     with open(args.output, "w") as f:
         json.dump(results, f, indent=2)
-
-    print(f"\n=== best recipe (noisy-student KD, T={args.temperature}) ===")
-    for s in sorted(rows):
-        r = rows[s]
-        print(f"seed {s}: teacher {r['teacher']:.4f}  noisy(T=2) "
-              f"{r['student_kd_noisy']:.4f}  noisy(T=4) {r[ARM]:.4f}  "
-              f"(vs T=2 {vs_t2[s]:+.4f}, vs teacher {vs_teacher[s]:+.4f})")
-    print(f"vs noisy T=2: mean {results['best_recipe_vs_noisy_t2_mean']:+.4f}")
     return results
 
 
