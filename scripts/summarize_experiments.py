@@ -206,10 +206,14 @@ def section_augment(out):
         "(ops/augment.py), same regime/seeds as the KD-lift table so "
         "gaps are paired per seed.\n")
     has_noisy = any("student_kd_noisy" in r for r in d["per_seed"].values())
+    has_t4 = any("student_kd_noisy_t4" in r for r in d["per_seed"].values())
     hdr = "| seed | teacher | student | +aug | +KD | +KD+aug (in-loop)"
     sep = "|---|---|---|---|---|---|"
     if has_noisy:
         hdr += " | noisy-student KD"
+        sep += "---|"
+    if has_t4:
+        hdr += " | noisy-student T=4"
         sep += "---|"
     out.append(hdr + " |")
     out.append(sep)
@@ -219,6 +223,9 @@ def section_augment(out):
                f"{f4(r['student_kd_aug'])}")
         if has_noisy:
             n = r.get("student_kd_noisy")
+            row += f" | {f4(n)}" if n is not None else " | —"
+        if has_t4:
+            n = r.get("student_kd_noisy_t4")
             row += f" | **{f4(n)}**" if n is not None else " | —"
         out.append(row + " |")
     out.append(
@@ -247,6 +254,35 @@ def section_augment(out):
             + f" pt), mean +{pct(d['noisy_gap_mean'])} pt over the plain "
             f"student, and EXCEEDS ITS OWN TEACHER on {beats_t}/"
             f"{len(rows)} seeds.\n")
+    if has_t4:
+        rows = {s: r for s, r in d["per_seed"].items()
+                if "student_kd_noisy_t4" in r}
+        beats_t = sum(r["student_kd_noisy_t4"] > r["teacher"]
+                      for r in rows.values())
+        mean = sum(r["student_kd_noisy_t4"] for r in rows.values()) \
+            / len(rows)
+        out.append(
+            "Composing the sweep-best temperature into the noisy-student "
+            "recipe (**best recipe**, scripts/experiment_best_recipe.py: "
+            "cached clean teacher + photometric augment + T=4) gives the "
+            f"best student measured: mean {f4(mean)}, above its own "
+            f"teacher on {beats_t}/{len(rows)} seeds (vs T=2 noisy: "
+            + ", ".join(
+                f"{'+' if r['student_kd_noisy_t4'] >= r['student_kd_noisy'] else ''}"
+                f"{pct(r['student_kd_noisy_t4'] - r['student_kd_noisy'])}"
+                for _, r in sorted(rows.items())) + " pt).\n")
+        w_rows = {s: r for s, r in d["per_seed"].items()
+                  if any(k.startswith("student_kd_noisy_t4_w")
+                         for k in r)}
+        if w_rows:
+            frags = []
+            for s, r in sorted(w_rows.items()):
+                for k in sorted(r):
+                    if k.startswith("student_kd_noisy_t4_w"):
+                        frags.append(f"seed {s} {k.split('_')[-1]}: "
+                                     f"{f4(r[k])}")
+            out.append("Compressed best recipe (same arm at reduced "
+                       "student width): " + "; ".join(frags) + ".\n")
 
 
 def section_ema(out):

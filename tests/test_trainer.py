@@ -339,3 +339,41 @@ class TestEmaAndGradClip:
         assert 0.0 <= best <= 1.0
         ema = jax.device_get(trainer.state.ema_params)
         assert set(ema) == {"model", "proj"}
+
+
+class TestEpochAccumulator:
+    """Lag-1 result draining (trainer._EpochAccumulator): conversion of a
+    dispatch's results is deferred until the NEXT dispatch so the host can
+    prepare chunk k+1 while the device runs chunk k."""
+
+    def test_defers_conversion_by_one_push(self):
+        import jax.numpy as jnp
+        from lmsu_tpu.training.trainer import _EpochAccumulator
+
+        acc = _EpochAccumulator()
+        acc.push(jnp.float32(2.0), jnp.ones((2, 2), jnp.int32), 1)
+        assert acc.n == 0 and acc.cm is None  # still in flight
+        acc.push(jnp.asarray([1.0, 3.0]), 2 * jnp.ones((2, 2), jnp.int32), 2)
+        assert acc.n == 1 and acc.total_loss == 2.0  # first drained
+        mean_loss, cm = acc.finish(2)
+        # (2.0 + 1.0 + 3.0) / 3 batches; cm summed across both pushes.
+        assert mean_loss == pytest.approx(2.0)
+        assert (cm == 3).all() and cm.dtype == np.int64
+
+    def test_empty_epoch(self):
+        from lmsu_tpu.training.trainer import _EpochAccumulator
+
+        mean_loss, cm = _EpochAccumulator().finish(3)
+        assert mean_loss == 0.0 and cm.shape == (3, 3) and not cm.any()
+
+    def test_loss_parts_convert_lazily_on_read(self, tmp_path):
+        import jax.numpy as jnp
+
+        trainer = _make_trainer(_tiny_config(tmp_path, num_epochs=1))
+        trainer.last_loss_parts = {"ce": jnp.float32(1.5),
+                                   "kl": jnp.float32(0.25)}
+        raw = trainer._last_loss_parts_raw
+        assert not isinstance(next(iter(raw.values())), float)  # no sync yet
+        assert trainer.last_loss_parts == {"ce": 1.5, "kl": 0.25}
+        # Cached as floats after the first read.
+        assert isinstance(trainer._last_loss_parts_raw["ce"], float)
