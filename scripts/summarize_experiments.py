@@ -281,8 +281,18 @@ def section_augment(out):
                     if k.startswith("student_kd_noisy_t4_w"):
                         frags.append(f"seed {s} {k.split('_')[-1]}: "
                                      f"{f4(r[k])}")
-            out.append("Compressed best recipe (same arm at reduced "
-                       "student width): " + "; ".join(frags) + ".\n")
+            out.append(
+                "Compressed best recipe (same arm at reduced student "
+                "width): " + "; ".join(frags) + ". MIXED — at half width "
+                "the augmentation noise is not reliably beneficial: vs "
+                "the same-seed clean-teacher baselines "
+                "(kd_compression_results.json) the noisy arm LOSES 3.1 pt "
+                "to clean T=4 on seed 0 (0.8466 vs 0.8781) and wins "
+                "+0.9 pt over clean T=2 on seed 1; seed 2 reaches 0.8867 "
+                "(above its own teacher). The clean T=4 recipe stays the "
+                "recommendation for capacity-limited students; the "
+                "full-width composition above is the recommendation at "
+                "reference size.\n")
 
 
 def section_ema(out):
