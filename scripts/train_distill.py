@@ -45,6 +45,12 @@ def main(argv=None) -> float:
     p.add_argument("--use-pallas-kd", action="store_true")
     p.add_argument("--cache-teacher", action="store_true",
                    help="precompute frozen-teacher outputs once (HBM cache)")
+    p.add_argument("--cache-hbm-gb", type=float, default=None,
+                   help="HBM budget for the teacher cache in GiB "
+                   "(KDConfig.cache_hbm_limit_bytes, default 4); larger "
+                   "caches spill to host RAM with a per-step gather — "
+                   "raise this when the cache fits next to the model "
+                   "(v5e: 16 GiB) to avoid re-transferring it every epoch")
     args = p.parse_args(argv)
 
     kd = KDConfig(enabled=True, temperature=args.temperature,
@@ -53,6 +59,9 @@ def main(argv=None) -> float:
                   teacher_checkpoint=args.teacher_checkpoint,
                   use_pallas=args.use_pallas_kd,
                   cache_teacher=args.cache_teacher)
+    if args.cache_hbm_gb is not None:
+        kd = dataclasses.replace(
+            kd, cache_hbm_limit_bytes=int(args.cache_hbm_gb * (1 << 30)))
     cfg = ExperimentConfig(
         model=ModelConfig(num_classes=2, fusion_type="weighted",
                           fusion_out_channels=128),
