@@ -295,6 +295,32 @@ def section_augment(out):
                 "reference size.\n")
 
 
+def section_best_overall(out):
+    d = load("best_overall_results.json")
+    if not d:
+        return
+    out.append("## Best overall model: minimal/128 student under the "
+               "best recipe\n")
+    out.append(
+        "`best_overall_results.json` — scripts/experiment_best_overall.py; "
+        "the best recipe (cached clean-input teacher targets, "
+        "photometric/dropout student augmentation, T=4) applied to the "
+        "strongest family (minimal fusion, 494,978 params), teacher = 2x "
+        "minimal trained WITH photometric augmentation. Not paired with "
+        "the kd_variants table (different teacher); the claim is "
+        "absolute best-student accuracy.\n")
+    out.append("| seed | teacher | student (best recipe) |")
+    out.append("|---|---|---|")
+    for s, r in sorted(d["per_seed"].items()):
+        out.append(f"| {s} | {f4(r['teacher'])} | "
+                   f"**{f4(r['student_best_recipe'])}** |")
+    out.append(
+        f"\nMean student {f4(d['mean_student'])} — the best student "
+        "accuracy measured in this project (prior best small model: "
+        "0.9270, kd_variants minimal+KD seed 0), within a point of its "
+        "own 2x teacher at a quarter of the teacher's parameters.\n")
+
+
 def section_ema(out):
     d = load("ema_results.json")
     if not d:
@@ -449,6 +475,7 @@ def main(argv=None):
     section_kd_compression(out)
     section_kd_crossarch(out)
     section_augment(out)
+    section_best_overall(out)
     section_ema(out)
     section_fusion_ablation(out)
     section_perf(out)
