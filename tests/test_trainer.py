@@ -377,3 +377,24 @@ class TestEpochAccumulator:
         assert trainer.last_loss_parts == {"ce": 1.5, "kl": 0.25}
         # Cached as floats after the first read.
         assert isinstance(trainer._last_loss_parts_raw["ce"], float)
+
+
+class TestEvaluateScript:
+    def test_evaluate_checkpoint_reproduces_best_miou(self, tmp_path):
+        """scripts/evaluate.py recomputes exactly what training recorded:
+        evaluating best.ckpt on the same val split returns the trainer's
+        best_miou bit-for-bit (same jitted eval path, same loader)."""
+        from scripts.evaluate import evaluate_checkpoint
+
+        cfg = _tiny_config(tmp_path, num_epochs=2)
+        trainer = _make_trainer(cfg)
+        best = trainer.train(log=lambda *a, **k: None)
+
+        ckpt = os.path.join(cfg.train.save_dir, "best.ckpt")
+        result = evaluate_checkpoint(cfg, ckpt, split="val")
+        assert result["miou"] == pytest.approx(best, abs=0.0)
+        assert result["split"] == "val"
+        assert len(result["class_iou"]) == cfg.model.num_classes
+        # train split evaluates too (eval-mode BN, no weight updates)
+        r2 = evaluate_checkpoint(cfg, ckpt, split="train")
+        assert 0.0 <= r2["miou"] <= 1.0
