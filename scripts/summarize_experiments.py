@@ -188,6 +188,30 @@ def section_kd_crossarch(out):
                    f"+{pct(gap)} pt |")
     out.append(f"\nPositive on every seed (mean +{pct(sum(gaps)/len(gaps))} "
                "pt).\n")
+    b = load("kd_crossarch_best.json")
+    if b and b.get("per_seed"):
+        out.append("Best recipe x cross-arch (`kd_crossarch_best.json` — "
+                   "scripts/experiment_crossarch_best.py: noisy-student "
+                   "KD, T=4, cached clean-input spatial teacher trained "
+                   "with photometric augment, PP student):\n")
+        out.append("| seed | teacher (aug-trained) | PP student, best "
+                   "recipe | vs plain PP | vs in-loop T=2 KD |")
+        out.append("|---|---|---|---|---|")
+        for s, r in sorted(b["per_seed"].items()):
+            vp = r.get("vs_plain")
+            vk = r.get("vs_kd_t2")
+            out.append(
+                f"| {s} | {f4(r['teacher_spatial_aug'])} | "
+                f"{f4(r['pp_student_best_recipe'])} | "
+                f"{'+' if (vp or 0) >= 0 else ''}{pct(vp) if vp is not None else '—'} pt | "
+                f"{'+' if (vk or 0) >= 0 else ''}{pct(vk) if vk is not None else '—'} pt |")
+        if "recipe_gap_mean" in b:
+            out.append(f"\nPaired gap vs the plain PP student: mean "
+                       f"+{pct(b['recipe_gap_mean'])} pt, min "
+                       f"{'+' if b['recipe_gap_min'] >= 0 else ''}"
+                       f"{pct(b['recipe_gap_min'])} pt.\n")
+        else:
+            out.append("")
 
 
 def section_augment(out):
@@ -430,6 +454,17 @@ def section_perf(out):
             "B=32) because the forward is memory-bound, so int8 stays a "
             "correctness-complete opt-in (rationale in "
             "lmsu_tpu/ops/quant.py).\n")
+    qa = load("docs/quant_accuracy_v5e.json")
+    if qa:
+        out.append(
+            f"Int8 PTQ **accuracy** on a trained model "
+            f"(`docs/quant_accuracy_v5e.json`, {qa['model']}, "
+            f"{qa['benchmark']}): fp32 val mIoU {f4(qa['fp32']['miou'])} "
+            f"vs int8 {f4(qa['int8']['miou'])} (delta "
+            f"{'+' if qa['miou_delta'] >= 0 else ''}{pct(qa['miou_delta'], 2)} "
+            f"pt), pixel argmax agreement "
+            f"{pct(qa['argmax_agreement'], 3)}% — calibrated on "
+            f"{qa['calib_batches']} train batches.\n")
     sv = load("docs/serving_bench_v5e.json")
     if sv:
         det = sv["detail"]
