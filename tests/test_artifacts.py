@@ -112,3 +112,30 @@ def test_kd_crossarch_paired_gaps_consistent():
     mean_gap = sum(d["kd_gap_per_seed"].values()) / len(d["per_seed"])
     assert abs(mean_gap - d["kd_gap_mean"]) < 1e-3
     assert d["kd_lift_every_seed"] == (min(d["kd_gap_per_seed"].values()) > 0)
+
+
+def test_crossarch_best_paired_against_baseline_artifact():
+    d = _load("kd_crossarch_best.json")
+    base = _load("kd_crossarch_results.json")["per_seed"]
+    assert d["experiment"] == "best_recipe_cross_architecture"
+    for s, row in d["per_seed"].items():
+        assert {"teacher_spatial_aug", "pp_student_best_recipe",
+                "vs_plain", "vs_kd_t2"} <= set(row)
+        assert abs((row["pp_student_best_recipe"] - base[s]["pp_student"])
+                   - row["vs_plain"]) < 1e-3, s
+        assert abs((row["pp_student_best_recipe"] - base[s]["pp_student_kd"])
+                   - row["vs_kd_t2"]) < 1e-3, s
+    gaps = [r["vs_plain"] for r in d["per_seed"].values()]
+    assert abs(sum(gaps) / len(gaps) - d["recipe_gap_mean"]) < 1e-3
+    assert d["recipe_lift_every_seed"] == (min(gaps) > 0)
+
+
+def test_quant_accuracy_artifact_consistent():
+    d = _load("docs/quant_accuracy_v5e.json")
+    assert abs((d["int8"]["miou"] - d["fp32"]["miou"])
+               - d["miou_delta"]) < 1e-5
+    assert 0.0 <= d["argmax_agreement"] <= 1.0
+    # The claim of record: int8 costs well under a point of mIoU on a
+    # trained model with near-total pixel agreement.
+    assert abs(d["miou_delta"]) < 0.01
+    assert d["argmax_agreement"] > 0.98
