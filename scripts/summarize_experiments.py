@@ -412,6 +412,35 @@ def section_fusion_ablation(out):
                    "dip.\n")
 
 
+def section_weighted_gate(out):
+    d = load("docs/weighted_gate_analysis.json")
+    if not d:
+        return
+    v = d["gate_variants_val_miou"]
+    s = d["gate_stats"]
+    out.append("## Why weighted fusion trails: gate ablation on a trained "
+               "model\n")
+    out.append("`docs/weighted_gate_analysis.json` — "
+               "scripts/analyze_weighted_gate.py; eval-time variable edits "
+               "replace the per-pixel softmax gate exactly.\n")
+    out.append("| gate variant | val mIoU |")
+    out.append("|---|---|")
+    for k in ("trained", "uniform", "camera_only", "lidar_only"):
+        out.append(f"| {k} | {f4(v[k]['miou'])} |")
+    out.append(
+        f"\nThe learned gate contributes +{pct(d['gate_contribution_pt']/100)}"
+        " pt over a uniform gate and is a near-binary switch "
+        f"({pct(s['decisive_pixel_fraction_gt_0.7'])}% of pixels decisive "
+        "> 0.7) whose camera weight tracks BEV occupancy at rho = "
+        f"{s['corr_camera_weight_vs_bev_occupancy']:+.2f} — it selects "
+        "camera features where LiDAR returns exist and the (zero-valued) "
+        "LiDAR branch elsewhere. A convex per-pixel selection can only "
+        "interpolate the modalities; minimal's addition superposes them, "
+        "which is what the cross-modal distractors demand — the weighted "
+        "family is architecturally capped, not under-trained (full "
+        "argument: docs/DESIGN.md).\n")
+
+
 def section_perf(out):
     out.append("## Performance (real TPU v5e, B=32 bf16)\n")
     out.append("Official headline = the driver's bench.py run "
@@ -513,6 +542,7 @@ def main(argv=None):
     section_best_overall(out)
     section_ema(out)
     section_fusion_ablation(out)
+    section_weighted_gate(out)
     section_perf(out)
     text = "\n".join(out).rstrip() + "\n"
     if args.stdout:

@@ -139,3 +139,16 @@ def test_quant_accuracy_artifact_consistent():
     # trained model with near-total pixel agreement.
     assert abs(d["miou_delta"]) < 0.01
     assert d["argmax_agreement"] > 0.98
+
+
+def test_weighted_gate_analysis_consistent():
+    d = _load("docs/weighted_gate_analysis.json")
+    v = d["gate_variants_val_miou"]
+    # The published claim: the learned gate is load-bearing...
+    assert v["trained"]["miou"] > v["uniform"]["miou"]
+    assert abs(100 * (v["trained"]["miou"] - v["uniform"]["miou"])
+               - d["gate_contribution_pt"]) < 0.01
+    # ...and near-binary, keyed on LiDAR occupancy.
+    s = d["gate_stats"]
+    assert s["decisive_pixel_fraction_gt_0.7"] > 0.9
+    assert abs(s["corr_camera_weight_vs_bev_occupancy"]) > 0.5
