@@ -98,6 +98,8 @@ class ModelConfig:
 
     num_classes: int = 2
     fusion_type: str = "concat"  # "concat" | "minimal" | "weighted"
+    #   | "gated_sum" (non-convex sigmoid gates; no reference analog —
+    #     designed from the weighted-gate ablation, docs/DESIGN.md)
     fusion_out_channels: int = 256
     camera_fpn_channels: int = 128
     # The reference experiments of record all select these three stages
@@ -363,7 +365,8 @@ def preset_pandaset_weighted() -> ExperimentConfig:
 
 def preset_fusion_ablation(fusion_type: str) -> ExperimentConfig:
     """train_with_fusion_ablation.py:10-66: 2-class, 20 epochs per variant."""
-    out_ch = {"concat": 256, "minimal": 128, "weighted": 128}[fusion_type]
+    out_ch = {"concat": 256, "minimal": 128, "weighted": 128,
+              "gated_sum": 128}[fusion_type]
     return ExperimentConfig(
         model=ModelConfig(num_classes=2, fusion_type=fusion_type,
                           fusion_out_channels=out_ch),

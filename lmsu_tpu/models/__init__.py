@@ -4,6 +4,7 @@ from lmsu_tpu.models.camera_encoder import TwinLiteEncoder
 from lmsu_tpu.models.fusion import (CameraFPNLite, CompleteSegmentationModel,
                                     ConcatenationFusion,
                                     LightweightSegmentationHead,
+                                    GatedSumFusion,
                                     MinimalFusion,
                                     SameResolutionSegmentationHead,
                                     WeightedFusion)
@@ -19,6 +20,7 @@ __all__ = [
     "PointPillarsLiDAREncoder",
     "create_test_point_cloud", "CameraFPNLite", "CompleteSegmentationModel",
     "ConcatenationFusion", "MinimalFusion", "WeightedFusion",
+    "GatedSumFusion",
     "LightweightSegmentationHead", "SameResolutionSegmentationHead",
     "count_parameters", "create_model", "init_model",
     "get_architecture_summary",

@@ -186,6 +186,53 @@ class WeightedFusion(nn.Module):
         return fused, fused
 
 
+class GatedSumFusion(nn.Module):
+    """Non-convex gated sum: independent per-pixel sigmoid gates —
+    fused = g_cam * cam + g_lid * lid.
+
+    NO reference analog (the reference's fusions are concat / minimal /
+    weighted only, fusion_module.py:70-136). Designed from the trained-gate
+    ablation (docs/DESIGN.md "Why weighted fusion trails",
+    docs/weighted_gate_analysis.json): WeightedFusion's softmax can only
+    INTERPOLATE the two modalities per pixel — on the hard benchmark it
+    degenerates into a LiDAR-occupancy switch — while the task rewards
+    SUPERPOSITION (MinimalFusion's plain add wins the ablation).
+    Independent sigmoid gates contain both regimes: (1, 1) recovers the
+    add, (1, 0)/(0, 1) the mask, anything between a soft veto. Zero-init
+    gate bias starts at g = (0.5, 0.5) = a scaled MinimalFusion, so
+    training begins from the stronger family's behavior. Same gate-net
+    parameter count as WeightedFusion; only the output normalization
+    differs (sigmoid vs softmax).
+    """
+
+    out_channels: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cam_feat: jnp.ndarray, lidar_feat: jnp.ndarray,
+                 train: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        kw = dict(dtype=self.dtype)
+        cam = Conv1x1Block(self.out_channels, name="cam_proj", **kw)(cam_feat, train)
+        lid = Conv1x1Block(self.out_channels, name="lidar_proj", **kw)(lidar_feat, train)
+        w1 = self.param("attn1_kernel", conv_init,
+                        (1, 1, 2 * self.out_channels, self.out_channels),
+                        jnp.float32)
+        b1 = self.param("attn1_bias", nn.initializers.zeros,
+                        (self.out_channels,), jnp.float32)
+        w2 = self.param("attn2_kernel", conv_init,
+                        (1, 1, self.out_channels, 2), jnp.float32)
+        b2 = self.param("attn2_bias", nn.initializers.zeros, (2,), jnp.float32)
+        concat = jnp.concatenate([cam, lid], axis=-1)
+        h = nn.relu(jnp.einsum("bhwc,cd->bhwd",
+                               concat, w1[0, 0].astype(self.dtype))
+                    + b1.astype(self.dtype))
+        logits = jnp.einsum("bhwc,cd->bhwd",
+                            h, w2[0, 0].astype(self.dtype)) + b2.astype(self.dtype)
+        gates = jax.nn.sigmoid(logits)
+        fused = cam * gates[..., 0:1] + lid * gates[..., 1:2]
+        return fused, fused
+
+
 class LightweightSegmentationHead(nn.Module):
     """Two ConvTranspose 2x upsamples (-> x4) + 3x3 classifier.
 
@@ -279,6 +326,8 @@ class CompleteSegmentationModel(nn.Module):
             fusion = WeightedFusion(cam_ch,
                                     use_pallas=cfg.use_pallas_fusion,
                                     name="fusion", **kw)
+        elif cfg.fusion_type == "gated_sum":
+            fusion = GatedSumFusion(cam_ch, name="fusion", **kw)
         else:
             raise ValueError(f"Unknown fusion_type: {cfg.fusion_type}")
         pre_fusion, fused = fusion(cam_feat, lidar_feat, train)

@@ -65,7 +65,7 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="LiDAR encoder implementation (reference "
                    "lidar_encoder.py:193 encoder_type)")
     p.add_argument("--fusion-type", default=None,
-                   choices=["concat", "minimal", "weighted"],
+                   choices=["concat", "minimal", "weighted", "gated_sum"],
                    help="override the script's fusion variant (single-run "
                    "scripts; the ablation sweep sets its own)")
     p.add_argument("--fusion-channels", type=int, default=None,

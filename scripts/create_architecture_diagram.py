@@ -18,7 +18,7 @@ def main(argv=None):
     apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--fusion-type", default="concat",
-                   choices=["concat", "minimal", "weighted"])
+                   choices=["concat", "minimal", "weighted", "gated_sum"])
     p.add_argument("--output", default="architecture_diagram.png")
     p.add_argument("--html", default=None,
                    help="also write a static HTML stats page "
@@ -35,7 +35,7 @@ def main(argv=None):
     from lmsu_tpu.models import (create_model, get_architecture_summary,
                                  init_model)
 
-    out_ch = {"concat": 256, "minimal": 128, "weighted": 128}[args.fusion_type]
+    out_ch = {"concat": 256, "minimal": 128, "weighted": 128, "gated_sum": 128}[args.fusion_type]
     cfg = ModelConfig(num_classes=2, fusion_type=args.fusion_type,
                       fusion_out_channels=out_ch)
     model = create_model(cfg)

@@ -62,7 +62,7 @@ def main(argv=None) -> dict:
                    help="also write the metrics dict to this path")
     args = p.parse_args(argv)
 
-    out_ch = {"concat": 256, "minimal": 128, "weighted": 128}[
+    out_ch = {"concat": 256, "minimal": 128, "weighted": 128, "gated_sum": 128}[
         args.fusion_type or "concat"]
     cfg = ExperimentConfig(
         model=ModelConfig(num_classes=args.num_classes,

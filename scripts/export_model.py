@@ -27,7 +27,7 @@ def main(argv=None) -> None:
     p.add_argument("--output", required=True)
     p.add_argument("--num-classes", type=int, default=2)
     p.add_argument("--fusion-type", default="weighted",
-                   choices=["concat", "minimal", "weighted"])
+                   choices=["concat", "minimal", "weighted", "gated_sum"])
     p.add_argument("--fusion-channels", type=int, default=128)
     p.add_argument("--batch-size", type=int, default=1)
     p.add_argument("--num-points", type=int, default=5000)

@@ -79,7 +79,7 @@ def main(argv=None) -> None:
     src.add_argument("--artifact", help="Predictor.export() StableHLO file")
     p.add_argument("--num-classes", type=int, default=2)
     p.add_argument("--fusion-type", default="weighted",
-                   choices=["concat", "minimal", "weighted"])
+                   choices=["concat", "minimal", "weighted", "gated_sum"])
     p.add_argument("--fusion-channels", type=int, default=128)
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--freeze-weights", action="store_true",

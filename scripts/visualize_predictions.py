@@ -40,7 +40,7 @@ def main(argv=None):
     p.add_argument("--checkpoint",
                    default="checkpoints/fusion_ablation_concat/best.ckpt")
     p.add_argument("--fusion-type", default="concat",
-                   choices=["concat", "minimal", "weighted"])
+                   choices=["concat", "minimal", "weighted", "gated_sum"])
     p.add_argument("--num-classes", type=int, default=2)
     p.add_argument("--dataset", default="synthetic",
                    choices=["pandaset", "synthetic"])
@@ -56,7 +56,7 @@ def main(argv=None):
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    out_ch = {"concat": 256, "minimal": 128, "weighted": 128}[args.fusion_type]
+    out_ch = {"concat": 256, "minimal": 128, "weighted": 128, "gated_sum": 128}[args.fusion_type]
     mcfg = ModelConfig(num_classes=args.num_classes,
                        fusion_type=args.fusion_type,
                        fusion_out_channels=out_ch)

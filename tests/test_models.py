@@ -150,6 +150,10 @@ class TestCompleteModel:
         ("concat", 256, 573_442),
         ("minimal", 128, 494_978),
         ("weighted", 128, 528_132),
+        # gated_sum has no reference analog; its gate net is shaped exactly
+        # like weighted's (only the output normalization differs), so the
+        # count pins that structural claim.
+        ("gated_sum", 128, 528_132),
     ])
     def test_reference_param_counts(self, fusion_type, out_ch, expected):
         """Exact parameter parity with fusion_ablation_results.json."""
@@ -169,7 +173,8 @@ class TestCompleteModel:
         assert s["fusion_params"] == "161,920"
         assert s["head_params"] == "22,210"
 
-    @pytest.mark.parametrize("fusion_type", ["concat", "minimal", "weighted"])
+    @pytest.mark.parametrize("fusion_type",
+                             ["concat", "minimal", "weighted", "gated_sum"])
     def test_forward_and_intermediates(self, small_model_config, sample_batch,
                                        fusion_type):
         cfg = dataclasses.replace(
@@ -266,3 +271,58 @@ class TestCompleteModel:
                                   sample_batch["points"], train=True,
                                   mutable=["batch_stats"])
         assert not bool(jnp.allclose(eval_logits, train_logits))
+
+
+class TestGatedSumFusion:
+    """The analysis-driven fourth fusion variant (docs/DESIGN.md "Why
+    weighted fusion trails"): independent sigmoid gates instead of the
+    softmax, so the fusion can superpose AND mask."""
+
+    def _feats(self):
+        rng = jax.random.PRNGKey(3)
+        k1, k2 = jax.random.split(rng)
+        return (jax.random.normal(k1, (2, 8, 8, 16)),
+                jax.random.normal(k2, (2, 8, 8, 16)))
+
+    def test_param_tree_matches_weighted(self):
+        from lmsu_tpu.models import GatedSumFusion, WeightedFusion
+        cam, lid = self._feats()
+        vg = GatedSumFusion(16).init(jax.random.PRNGKey(0), cam, lid)
+        vw = WeightedFusion(16).init(jax.random.PRNGKey(0), cam, lid)
+        assert (jax.tree_util.tree_structure(vg)
+                == jax.tree_util.tree_structure(vw))
+
+    def test_zeroed_gate_net_equals_weighted_and_half_sum(self):
+        """With attn2 zeroed, sigmoid(0)=0.5 per gate and softmax(0,0)=
+        (0.5,0.5) coincide: both fusions emit 0.5*(cam'+lid') for the SAME
+        variables (identical trees). With trained-style nonzero attn2 they
+        must differ (non-convex vs convex)."""
+        from lmsu_tpu.models import GatedSumFusion, WeightedFusion
+        cam, lid = self._feats()
+        v = GatedSumFusion(16).init(jax.random.PRNGKey(0), cam, lid)
+        vz = jax.tree_util.tree_map(lambda x: x, v)
+        vz["params"] = dict(vz["params"])
+        vz["params"]["attn2_kernel"] = jnp.zeros_like(v["params"]["attn2_kernel"])
+        g, _ = GatedSumFusion(16).apply(vz, cam, lid)
+        w, _ = WeightedFusion(16).apply(vz, cam, lid)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-6, rtol=0)
+        g2, _ = GatedSumFusion(16).apply(v, cam, lid)
+        w2, _ = WeightedFusion(16).apply(v, cam, lid)
+        assert float(jnp.abs(g2 - w2).max()) > 1e-4
+
+    def test_gates_can_exceed_convex_hull(self):
+        """Drive both gate logits high: the gated sum approaches cam'+lid'
+        (superposition), which no softmax weighting can produce."""
+        from lmsu_tpu.models import GatedSumFusion
+        cam, lid = self._feats()
+        v = GatedSumFusion(16).init(jax.random.PRNGKey(0), cam, lid)
+        v = jax.tree_util.tree_map(lambda x: x, v)
+        v["params"] = dict(v["params"])
+        v["params"]["attn2_kernel"] = jnp.zeros_like(v["params"]["attn2_kernel"])
+        v["params"]["attn2_bias"] = jnp.full_like(v["params"]["attn2_bias"], 20.0)
+        full, _ = GatedSumFusion(16).apply(v, cam, lid)
+        v["params"]["attn2_bias"] = jnp.zeros_like(v["params"]["attn2_bias"])
+        half, _ = GatedSumFusion(16).apply(v, cam, lid)
+        np.testing.assert_allclose(np.asarray(full), 2 * np.asarray(half),
+                                   rtol=1e-4, atol=1e-5)
