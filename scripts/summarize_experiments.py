@@ -439,6 +439,20 @@ def section_weighted_gate(out):
         "which is what the cross-modal distractors demand — the weighted "
         "family is architecturally capped, not under-trained (full "
         "argument: docs/DESIGN.md).\n")
+    g = load("fusion_gated_sum_results.json")
+    if g and g.get("per_seed"):
+        rows = " / ".join(f4(g["per_seed"][s]["gated_sum"])
+                          for s in sorted(g["per_seed"]))
+        out.append(
+            "The suggested fix was built and measured "
+            "(`fusion_gated_sum_results.json` — GatedSumFusion, independent "
+            "sigmoid gates, same parameter tree): paired per seed it scores "
+            f"{rows} — above weighted on 2/3 seeds but a 12-pt low plateau "
+            "on seed 1 and below minimal/concat everywhere. The liability "
+            "is the learned gate itself, not its normalization; the "
+            "parameter-free addition is the right inductive bias here. "
+            "Ships as fusion_type=\"gated_sum\" with this closure as its "
+            "documentation.\n")
 
 
 def section_perf(out):

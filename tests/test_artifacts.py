@@ -152,3 +152,15 @@ def test_weighted_gate_analysis_consistent():
     s = d["gate_stats"]
     assert s["decisive_pixel_fraction_gt_0.7"] > 0.9
     assert abs(s["corr_camera_weight_vs_bev_occupancy"]) > 0.5
+
+
+def test_gated_sum_paired_against_ablation_artifact():
+    d = _load("fusion_gated_sum_results.json")
+    base = _load("fusion_ablation_hard_seeded.json")["per_seed"]
+    for s, row in d["per_seed"].items():
+        for k in ("weighted", "minimal", "concat"):
+            assert abs((row["gated_sum"] - base[s][k])
+                       - row[f"vs_{k}"]) < 1e-3, (s, k)
+        # The documented closure: gated_sum never beats the plain-add
+        # family on this benchmark.
+        assert row["gated_sum"] < base[s]["minimal"], s
