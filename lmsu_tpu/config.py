@@ -273,6 +273,17 @@ class KDConfig:
     # HBM budget for the device-resident cache. Above this the cache lives
     # in host RAM (numpy), per-step slices are device_put asynchronously.
     cache_hbm_limit_bytes: int = 4 << 30
+    # How the frozen teacher is partitioned over the mesh's 'model' axis
+    # (only meaningful when MeshConfig.model_parallel > 1; parallel/tp.py):
+    #   "tp" — tensor parallelism: every conv/dense kernel channel-sharded,
+    #          activations inherit the sharding, GSPMD inserts the
+    #          all-gathers. Fits teachers wider than one chip's HBM.
+    #   "sp" — spatial partitioning: teacher weights replicated, the input
+    #          image (and thus every conv activation) sharded on H; GSPMD
+    #          inserts the halo exchanges. Fits higher-resolution teachers
+    #          whose ACTIVATIONS dominate memory.
+    # Either way the student stays pure data-parallel.
+    teacher_partition: str = "tp"
 
 
 @dataclass(frozen=True)
@@ -332,10 +343,19 @@ class TrainConfig:
 @dataclass(frozen=True)
 class MeshConfig:
     """Device mesh for data-parallel training (no reference analog; the
-    reference is single-device, SURVEY.md §2 parallelism note)."""
+    reference is single-device, SURVEY.md §2 parallelism note).
+
+    model_parallel > 1 builds a 2-D ('data', 'model') mesh: batches stay
+    sharded on 'data' and the KD teacher's channels are sharded on 'model'
+    (parallel/tp.py) — tensor parallelism for teachers too wide for one
+    chip. The student and every non-KD path simply replicate over the
+    model axis (GSPMD treats an unused axis as replication), so
+    model_parallel=1 is behavior-identical to the 1-D mesh."""
 
     data_axis: str = "data"
+    model_axis: str = "model"
     num_devices: Optional[int] = None  # None = all visible devices
+    model_parallel: int = 1
 
 
 @dataclass(frozen=True)

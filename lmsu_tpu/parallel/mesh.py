@@ -49,6 +49,13 @@ def make_mesh(config: Optional[MeshConfig] = None,
         devices = jax.devices()
     if config.num_devices is not None:
         devices = devices[:config.num_devices]
+    mp = config.model_parallel
+    if mp > 1:
+        if len(devices) % mp:
+            raise ValueError(
+                f"model_parallel={mp} does not divide {len(devices)} devices")
+        grid = np.asarray(devices).reshape(len(devices) // mp, mp)
+        return Mesh(grid, (config.data_axis, config.model_axis))
     return Mesh(np.asarray(devices), (config.data_axis,))
 
 

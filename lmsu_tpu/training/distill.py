@@ -98,7 +98,25 @@ class DistillationTrainer(Trainer):
 
     def _build_steps(self) -> None:
         # Rebuild state with KD projections folded into the trainable params.
-        self.teacher_variables = replicate(self._init_teacher(), self.mesh)
+        # On a 2-D ('data', 'model') mesh the frozen teacher is channel-
+        # sharded over the model axis (tensor parallelism, parallel/tp.py);
+        # on the default 1-D mesh this is plain replication.
+        from lmsu_tpu.parallel.tp import shard_variables_tp, tp_axis
+        _tp_ax = tp_axis(self.mesh)
+        if _tp_ax is not None and self.kd.teacher_partition == "tp":
+            self.teacher_variables = shard_variables_tp(
+                self._init_teacher(), self.mesh)
+        else:
+            self.teacher_variables = replicate(self._init_teacher(),
+                                               self.mesh)
+        # Spatial partitioning: constrain the teacher's input image to
+        # ('data', 'model') on (B, H); GSPMD propagates the H-sharding
+        # through the conv stack with halo exchanges (KDConfig docstring).
+        self._teacher_sp_sharding = None
+        if _tp_ax is not None and self.kd.teacher_partition == "sp":
+            from jax.sharding import NamedSharding, PartitionSpec
+            self._teacher_sp_sharding = NamedSharding(
+                self.mesh, PartitionSpec(self.mesh.axis_names[0], _tp_ax))
         base = jax.device_get(self.state)
         params = {"model": base.params, "proj": self._init_projections()}
         state = TrainState(step=base.step, params=params,
@@ -121,9 +139,7 @@ class DistillationTrainer(Trainer):
             kwargs = {}
             if "point_valid" in batch:
                 kwargs["point_valid"] = batch["point_valid"]
-            t_logits, t_feats = self.teacher.apply(
-                self.teacher_variables, batch["image"], batch["points"],
-                train=False, return_intermediates=True, **kwargs)
+            t_logits, t_feats = self._teacher_apply(batch)
             t_logits = jax.lax.stop_gradient(t_logits)
             t_feats = jax.lax.stop_gradient(t_feats)
             (s_logits, s_feats), mut = self.model.apply(
@@ -182,12 +198,7 @@ class DistillationTrainer(Trainer):
         self.teacher_cache_host = None   # host-RAM spill (large datasets)
 
         def fill_cache(cache, batch):
-            kwargs = {}
-            if "point_valid" in batch:
-                kwargs["point_valid"] = batch["point_valid"]
-            t_logits, t_feats = self.teacher.apply(
-                self.teacher_variables, batch["image"], batch["points"],
-                train=False, return_intermediates=True, **kwargs)
+            t_logits, t_feats = self._teacher_apply(batch)
             idx = batch["sample_index"]
             cache = dict(cache)
             cache["logits"] = cache["logits"].at[idx].set(
@@ -257,12 +268,7 @@ class DistillationTrainer(Trainer):
                                      for tap in kd.feature_taps})
 
         def teacher_forward(batch):
-            kwargs = {}
-            if "point_valid" in batch:
-                kwargs["point_valid"] = batch["point_valid"]
-            t_logits, t_feats = self.teacher.apply(
-                self.teacher_variables, batch["image"], batch["points"],
-                train=False, return_intermediates=True, **kwargs)
+            t_logits, t_feats = self._teacher_apply(batch)
             dt = self._tap_dtype()
             out = {"logits": t_logits.astype(dt),
                    "sample_index": batch["sample_index"]}
@@ -323,6 +329,21 @@ class DistillationTrainer(Trainer):
             scanned_precached,
             in_shardings=(rep, self._scan_sharding, self._scan_sharding),
             out_shardings=(rep,) * 4, donate_argnums=0)
+
+    def _teacher_apply(self, batch):
+        """Frozen-teacher forward with intermediates. Applies the
+        spatial-partitioning sharding constraint on the input image when
+        KDConfig.teacher_partition == 'sp' on a 2-D mesh."""
+        kwargs = {}
+        if "point_valid" in batch:
+            kwargs["point_valid"] = batch["point_valid"]
+        image = batch["image"]
+        if self._teacher_sp_sharding is not None:
+            image = jax.lax.with_sharding_constraint(
+                image, self._teacher_sp_sharding)
+        return self.teacher.apply(
+            self.teacher_variables, image, batch["points"],
+            train=False, return_intermediates=True, **kwargs)
 
     def _tap_dtype(self):
         import jax.numpy as jnp

@@ -76,6 +76,11 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="BEV scatter-max algorithm (LidarEncoderConfig."
                    "scatter_impl); 'sorted_pallas' also turns on the "
                    "pipeline's by-cell point sorting")
+    p.add_argument("--model-parallel", type=int, default=None,
+                   help="size of a second ('model') mesh axis — builds a "
+                   "2-D ('data','model') mesh; the KD teacher is tensor- "
+                   "or spatially-partitioned over it (parallel/tp.py, "
+                   "KDConfig.teacher_partition); other paths replicate")
     p.add_argument("--grad-clip-norm", type=float, default=None,
                    help="clip gradients to this global L2 norm")
     p.add_argument("--ema-decay", type=float, default=None,
@@ -173,10 +178,14 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
     if getattr(args, "scatter_impl", None) is not None:
         model = model.replace(lidar=dataclasses.replace(
             model.lidar, scatter_impl=args.scatter_impl))
+    mesh = cfg.mesh
+    if getattr(args, "model_parallel", None) is not None:
+        mesh = dataclasses.replace(mesh, model_parallel=args.model_parallel)
     return cfg.replace(
         model=model,
         data=dataclasses.replace(cfg.data, **data_kw),
-        train=dataclasses.replace(cfg.train, **train_kw))
+        train=dataclasses.replace(cfg.train, **train_kw),
+        mesh=mesh)
 
 
 def build_loaders(cfg: ExperimentConfig, verbose: bool = True):

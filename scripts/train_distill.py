@@ -45,6 +45,12 @@ def main(argv=None) -> float:
     p.add_argument("--use-pallas-kd", action="store_true")
     p.add_argument("--cache-teacher", action="store_true",
                    help="precompute frozen-teacher outputs once (HBM cache)")
+    p.add_argument("--teacher-partition", default=None,
+                   choices=["tp", "sp"],
+                   help="how the teacher shards over the 'model' axis "
+                   "when --model-parallel > 1: 'tp' channel-shards the "
+                   "weights, 'sp' shards activations on H "
+                   "(KDConfig.teacher_partition)")
     p.add_argument("--cache-hbm-gb", type=float, default=None,
                    help="HBM budget for the teacher cache in GiB "
                    "(KDConfig.cache_hbm_limit_bytes, default 4); larger "
@@ -62,6 +68,8 @@ def main(argv=None) -> float:
     if args.cache_hbm_gb is not None:
         kd = dataclasses.replace(
             kd, cache_hbm_limit_bytes=int(args.cache_hbm_gb * (1 << 30)))
+    if args.teacher_partition is not None:
+        kd = dataclasses.replace(kd, teacher_partition=args.teacher_partition)
     cfg = ExperimentConfig(
         model=ModelConfig(num_classes=2, fusion_type="weighted",
                           fusion_out_channels=128),
