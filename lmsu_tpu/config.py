@@ -257,6 +257,15 @@ class KDConfig:
     feature_taps: Tuple[str, ...] = ("camera_feat", "lidar_feat", "post_fusion")
     teacher_width_mult: float = 2.0
     teacher_checkpoint: Optional[str] = None
+    # Deep-ensemble teacher: >1 same-config members (independently trained;
+    # different init/data-order seeds). The ensemble presents as ONE teacher
+    # — member-averaged logits and feature taps (training/distill.py
+    # EnsembleTeacher) — so every KD path (in-loop, cached/spilled, scans,
+    # tp/sp partitioning) works unchanged. Members come from
+    # teacher_checkpoints when set (overrides teacher_checkpoint), else
+    # ensemble_size randomly-initialized members (tests/benches).
+    teacher_checkpoints: Optional[Tuple[str, ...]] = None
+    ensemble_size: int = 1
     # Fused Pallas KD-loss kernel on TPU. Mesh-compatible: the feature-MSE
     # kernel computes per-sample partials under a custom_partitioning
     # batch rule; the cross-sample reduction is XLA's (ops/kd_loss_pallas).

@@ -57,6 +57,47 @@ def _tap_channels(model, config: ModelConfig) -> Dict[str, int]:
             "logits": config.num_classes}
 
 
+class EnsembleTeacher:
+    """Deep-ensemble teacher: K same-config members presented as ONE model.
+
+    apply() runs every member and returns member-averaged logits and
+    member-averaged feature taps, matching the single-teacher apply()
+    contract exactly — so the whole KD machinery (in-loop step, cached/
+    host-spilled teacher, scan variants, tp/sp partitioning) works on an
+    ensemble unchanged. Averaging LOGITS (not probabilities) keeps the
+    target well-defined under any later temperature: softmax((l1+l2)/2 / T)
+    is the ensemble's T-softened prediction, whereas a probability average
+    taken at one temperature cannot be re-tempered. Mean taps are the
+    natural feature-matching target for same-config members (tap tensors
+    are shape-identical by construction).
+
+    No reference analog (the reference ships no KD at all, SURVEY.md §0);
+    this is the classic multi-teacher extension of the north-star loss.
+    """
+
+    def __init__(self, member, num_members: int):
+        assert num_members >= 1
+        self.member = member
+        self.num_members = num_members
+
+    def apply(self, variables, image, points, train: bool = False,
+              return_intermediates: bool = False, **kwargs):
+        members = variables["members"]
+        assert len(members) == self.num_members, (
+            f"{len(members)} member variable sets for "
+            f"{self.num_members}-member ensemble")
+        outs = [self.member.apply(v, image, points, train=train,
+                                  return_intermediates=return_intermediates,
+                                  **kwargs)
+                for v in members]
+        if not return_intermediates:
+            return sum(outs) / self.num_members
+        logits = sum(o[0] for o in outs) / self.num_members
+        taps = {k: sum(o[1][k] for o in outs) / self.num_members
+                for k in outs[0][1]}
+        return logits, taps
+
+
 class DistillationTrainer(Trainer):
     """Trainer whose train step distills from a frozen teacher."""
 
@@ -66,7 +107,17 @@ class DistillationTrainer(Trainer):
         self.kd = config.train.kd
         self.teacher_config = teacher_model_config or teacher_config(
             config.model, self.kd.teacher_width_mult)
-        self.teacher = create_model(self.teacher_config)
+        member = create_model(self.teacher_config)
+        self._num_teachers = (len(self.kd.teacher_checkpoints)
+                              if self.kd.teacher_checkpoints
+                              else self.kd.ensemble_size)
+        if isinstance(teacher_variables, (list, tuple)):
+            self._num_teachers = len(teacher_variables)
+            teacher_variables = {"members": tuple(teacher_variables)}
+        if self._num_teachers > 1:
+            self.teacher = EnsembleTeacher(member, self._num_teachers)
+        else:
+            self.teacher = member
         self._teacher_vars_init = teacher_variables
         super().__init__(config, train_loader, val_loader, mesh=mesh)
 
@@ -75,9 +126,24 @@ class DistillationTrainer(Trainer):
     def _init_teacher(self):
         if self._teacher_vars_init is not None:
             return self._teacher_vars_init
-        if self.kd.teacher_checkpoint:
-            from lmsu_tpu.training import checkpoint as ckptlib
-            return ckptlib.load_model_variables(self.kd.teacher_checkpoint)
+        from lmsu_tpu.training import checkpoint as ckptlib
+        if self._num_teachers > 1:
+            if self.kd.teacher_checkpoints:
+                return {"members": tuple(
+                    ckptlib.load_model_variables(c)
+                    for c in self.kd.teacher_checkpoints)}
+            # Random ensemble (tests/benches): distinct member inits.
+            return {"members": tuple(
+                init_model(self.teacher.member,
+                           jax.random.PRNGKey(self.config.train.seed + 1 + i),
+                           image_size=self.config.data.image_size,
+                           num_points=self.config.data.max_points)
+                for i in range(self._num_teachers))}
+        ckpt = (self.kd.teacher_checkpoints[0]
+                if self.kd.teacher_checkpoints
+                else self.kd.teacher_checkpoint)
+        if ckpt:
+            return ckptlib.load_model_variables(ckpt)
         # Fallback: randomly initialized teacher (useful for tests/benches;
         # real runs should pass a trained teacher).
         rng = jax.random.PRNGKey(self.config.train.seed + 1)

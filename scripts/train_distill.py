@@ -27,10 +27,17 @@ def main(argv=None) -> float:
     apply_env_platform()
     p = argparse.ArgumentParser(description=__doc__)
     add_common_args(p)
-    p.add_argument("--teacher-checkpoint", default=None,
-                   help="trained teacher .ckpt (else random teacher)")
+    p.add_argument("--teacher-checkpoint", action="append", default=None,
+                   help="trained teacher .ckpt (else random teacher); "
+                        "repeat the flag for a deep-ensemble teacher "
+                        "(member-averaged logits/taps — KDConfig."
+                        "teacher_checkpoints)")
     p.add_argument("--train-teacher", action="store_true",
                    help="train the teacher first, then distill")
+    p.add_argument("--num-teachers", type=int, default=1,
+                   help="with --train-teacher: train this many ensemble "
+                        "members (data-order/init seeds offset by 1000 "
+                        "each) and distill from their average")
     p.add_argument("--teacher-epochs", type=int, default=None)
     p.add_argument("--temperature", type=float, default=2.0)
     p.add_argument("--alpha-kl", type=float, default=0.5)
@@ -59,10 +66,15 @@ def main(argv=None) -> float:
                    "(v5e: 16 GiB) to avoid re-transferring it every epoch")
     args = p.parse_args(argv)
 
+    ckpts = args.teacher_checkpoint or []
     kd = KDConfig(enabled=True, temperature=args.temperature,
                   alpha_kl=args.alpha_kl, beta_feature=args.beta_feature,
                   teacher_width_mult=args.teacher_width,
-                  teacher_checkpoint=args.teacher_checkpoint,
+                  teacher_checkpoint=ckpts[0] if len(ckpts) == 1 else None,
+                  teacher_checkpoints=(tuple(ckpts) if len(ckpts) > 1
+                                       else None),
+                  ensemble_size=(args.num_teachers
+                                 if not ckpts else 1),
                   use_pallas=args.use_pallas_kd,
                   cache_teacher=args.cache_teacher)
     if args.cache_hbm_gb is not None:
@@ -85,23 +97,30 @@ def main(argv=None) -> float:
 
     teacher_vars = None
     if args.train_teacher:
-        tcfg = cfg.replace(
-            model=tcfg_model,
-            train=dataclasses.replace(
-                cfg.train, kd=KDConfig(enabled=False),
-                num_epochs=(args.teacher_epochs
-                            if args.teacher_epochs is not None
-                            else cfg.train.num_epochs),
-                save_dir=cfg.train.save_dir + "_teacher"))
-        print("=== Phase 1: training teacher ===")
-        tl, vl = build_loaders(tcfg)
-        t_trainer = Trainer(tcfg, tl, vl)
-        t_best = t_trainer.train()
-        print(f"Teacher best mIoU: {t_best:.4f}")
-        import jax
-        state = jax.device_get(t_trainer.state)
-        teacher_vars = {"params": state.params,
-                        "batch_stats": state.batch_stats}
+        members = []
+        for i in range(max(1, args.num_teachers)):
+            suffix = "_teacher" if i == 0 else f"_teacher{i}"
+            tcfg = cfg.replace(
+                model=tcfg_model,
+                train=dataclasses.replace(
+                    cfg.train, kd=KDConfig(enabled=False),
+                    # Ensemble members differ in init AND data order.
+                    seed=cfg.train.seed + 1000 * i,
+                    num_epochs=(args.teacher_epochs
+                                if args.teacher_epochs is not None
+                                else cfg.train.num_epochs),
+                    save_dir=cfg.train.save_dir + suffix))
+            print(f"=== Phase 1: training teacher "
+                  f"{i + 1}/{max(1, args.num_teachers)} ===")
+            tl, vl = build_loaders(tcfg)
+            t_trainer = Trainer(tcfg, tl, vl)
+            t_best = t_trainer.train()
+            print(f"Teacher {i + 1} best mIoU: {t_best:.4f}")
+            import jax
+            state = jax.device_get(t_trainer.state)
+            members.append({"params": state.params,
+                            "batch_stats": state.batch_stats})
+        teacher_vars = members if len(members) > 1 else members[0]
 
     print("=== Distilling student ===")
     train_loader, val_loader = build_loaders(cfg)
