@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Teacher-width scaling: how does student accuracy track teacher capacity?
+
+The best-overall recipe (noisy-student T=4 KD from an augment-trained
+cached teacher into the minimal/128 student) is committed at teacher width
+2.0 (best_overall_results.json: teacher 0.9473 / student 0.9423, seed 0).
+This experiment fills in the teacher-capacity axis at the same seed/config:
+width 1.0 (teacher == student architecture — self-distillation-with-
+augmentation, the born-again setup) and width 4.0 (16x the student's
+FLOPs; the regime where the teacher outgrows a chip and the tp/sp
+partitioning of parallel/tp.py becomes load-bearing on real slices).
+
+Classic open question this measures on our benchmark: does a strictly
+better/bigger teacher give a better student, or does the capacity gap
+hurt (Mirzadeh et al.'s TA effect)?
+
+Per width: train the augment-trained minimal teacher (seed 0), distill
+with the best recipe, record both numbers. Paired with the committed w=2.0
+row (same seed/config/executables). Writes teacher_scaling_results.json.
+Drives the public train_distill.py CLI.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, ".")
+
+from scripts.common import apply_env_platform
+from scripts import train_distill
+
+REGIME = ["--dataset", "synthetic", "--difficulty", "hard",
+          "--num-train", "400", "--num-val", "512", "--epochs", "40",
+          "--batch-size", "32", "--fusion-type", "minimal",
+          "--fusion-channels", "128", "--cache-teacher",
+          "--temperature", "4", "--augment", "--aug-hflip", "0",
+          "--scan-steps", "13"]
+
+BASELINE = "best_overall_results.json"
+
+def _cache_gb(width: float) -> str:
+    """HBM budget that keeps the fp32 teacher cache device-resident at
+    every width (v5e: 16 GB; the cache is ~2.5 GB per unit width at 400
+    samples — 3 taps x [64,64,128w] fp32)."""
+    return str(max(4, int(2.6 * width) + 2))
+
+
+def main(argv=None):
+    apply_env_platform()
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--widths", type=float, nargs="+", default=[1.0, 4.0])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--output", default="teacher_scaling_results.json")
+    args = p.parse_args(argv)
+
+    try:
+        with open(args.output) as f:
+            per_width = json.load(f)["per_width"]
+    except FileNotFoundError:
+        per_width = {}
+
+    # Committed w=2.0 anchor (same seed/config).
+    try:
+        with open(BASELINE) as f:
+            b = json.load(f)["per_seed"][str(args.seed)]
+        per_width.setdefault("2.0", {
+            "teacher": b["teacher"], "student": b["student_best_recipe"],
+            "source": "best_overall_results.json (committed)"})
+    except FileNotFoundError:
+        pass
+
+    for width in args.widths:
+        save = f"checkpoints/tscale_w{width}_s{args.seed}"
+        seed_args = REGIME + [
+            "--seed", str(args.seed), "--save-dir", save,
+            "--teacher-width", str(width), "--cache-hbm-gb",
+            _cache_gb(width)]
+        tck = f"{save}_teacher/best.ckpt"
+        if os.path.exists(tck):
+            print(f"\n=== width {width}: reusing teacher ===", flush=True)
+            seed_args += ["--teacher-checkpoint", tck]
+        else:
+            print(f"\n=== width {width}: teacher + distill ===", flush=True)
+            seed_args += ["--train-teacher"]
+        best = float(train_distill.main(seed_args))
+        teacher_best = _teacher_best(f"{save}_teacher")
+        per_width[str(width)] = {"teacher": teacher_best, "student": best}
+        with open(args.output, "w") as f:
+            json.dump(_payload(per_width, args.seed), f, indent=2)
+        print(f"width {width}: teacher {teacher_best:.4f} "
+              f"student {best:.4f}")
+
+    print("\n=== teacher-width scaling (minimal/128 student, best recipe, "
+          f"seed {args.seed}) ===")
+    for w, r in sorted(per_width.items(), key=lambda t: float(t[0])):
+        print(f"w={w}: teacher {r['teacher']:.4f} student {r['student']:.4f}")
+    return _payload(per_width, args.seed)
+
+
+def _teacher_best(run_dir: str) -> float:
+    with open(f"{run_dir}/training_history.json") as f:
+        return max(json.load(f)["val_miou"])
+
+
+def _payload(per_width, seed):
+    return {"benchmark": "synthetic_hard",
+            "config": {"regime": "kd_lift (400/512, 40ep)",
+                       "student": "minimal/128 (494,978 params)",
+                       "teacher": "minimal, width-multiplied, "
+                                  "photometric-augment-trained",
+                       "recipe": "noisy-student KD, T=4, cached clean "
+                                 "teacher targets",
+                       "seed": seed},
+            "per_width": per_width}
+
+
+if __name__ == "__main__":
+    main()

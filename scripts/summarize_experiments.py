@@ -345,6 +345,57 @@ def section_best_overall(out):
         "own 2x teacher at a quarter of the teacher's parameters.\n")
 
 
+def section_kd_ensemble(out):
+    d = load("kd_ensemble_results.json")
+    if not d:
+        return
+    out.append("## Ensemble-teacher KD: 2 teachers vs 1 under the best "
+               "recipe\n")
+    out.append(
+        "`kd_ensemble_results.json` — scripts/experiment_kd_ensemble.py; "
+        "the best-overall regime with the teacher replaced by a 2-member "
+        "deep ensemble (independently trained 2x minimal members, seeds "
+        "offset 1000; member-averaged logits/taps — EnsembleTeacher). "
+        "Paired per seed against best_overall_results.json: member A "
+        "reproduces the committed teacher run, so the committed student "
+        "is the single-teacher arm.\n")
+    out.append("| seed | teacher A | teacher B | student (ensemble) | "
+               "student (single, committed) | gap |")
+    out.append("|---|---|---|---|---|---|")
+    for s, r in sorted(d["per_seed"].items()):
+        g = r["gap_vs_single"]
+        repro = "" if r["teacher_a_reproduces_committed"] else " (!)"
+        out.append(
+            f"| {s} | {f4(r['teacher_a'])}{repro} | {f4(r['teacher_b'])} | "
+            f"**{f4(r['student_ensemble'])}** | "
+            f"{f4(r['student_single_teacher_committed'])} | "
+            f"{'+' if g >= 0 else ''}{pct(g)} pt |")
+    out.append(
+        f"\nMean ensemble student {f4(d['mean_student_ensemble'])} vs "
+        f"single-teacher {f4(d['mean_student_single'])}.\n")
+
+
+def section_teacher_scaling(out):
+    d = load("teacher_scaling_results.json")
+    if not d:
+        return
+    seed = d["config"]["seed"]
+    out.append("## Teacher-width scaling under the best recipe\n")
+    out.append(
+        f"`teacher_scaling_results.json` — "
+        "scripts/experiment_teacher_scaling.py; the best-overall regime "
+        f"(seed {seed}) with the teacher's width multiplier swept. "
+        "w=2.0 is the committed best_overall anchor (same seed/config); "
+        "w=1.0 is self-distillation (teacher == student architecture); "
+        "w=4.0 is 16x the student's FLOPs — the regime where the teacher "
+        "outgrows one chip and tp/sp teacher partitioning applies.\n")
+    out.append("| teacher width | teacher | student |")
+    out.append("|---|---|---|")
+    for w, r in sorted(d["per_width"].items(), key=lambda t: float(t[0])):
+        out.append(f"| {w} | {f4(r['teacher'])} | **{f4(r['student'])}** |")
+    out.append("")
+
+
 def section_ema(out):
     d = load("ema_results.json")
     if not d:
@@ -554,6 +605,8 @@ def main(argv=None):
     section_kd_crossarch(out)
     section_augment(out)
     section_best_overall(out)
+    section_kd_ensemble(out)
+    section_teacher_scaling(out)
     section_ema(out)
     section_fusion_ablation(out)
     section_weighted_gate(out)
