@@ -114,6 +114,12 @@ class DistillationTrainer(Trainer):
         if isinstance(teacher_variables, (list, tuple)):
             self._num_teachers = len(teacher_variables)
             teacher_variables = {"members": tuple(teacher_variables)}
+        elif (teacher_variables is not None and self._num_teachers > 1
+              and "members" not in teacher_variables):
+            raise ValueError(
+                f"KD config asks for {self._num_teachers} ensemble members "
+                "but teacher_variables is a single variables dict — pass a "
+                "list of member variables (or {'members': (...)})")
         if self._num_teachers > 1:
             self.teacher = EnsembleTeacher(member, self._num_teachers)
         else:
