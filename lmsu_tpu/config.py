@@ -282,6 +282,15 @@ class KDConfig:
     # HBM budget for the device-resident cache. Above this the cache lives
     # in host RAM (numpy), per-step slices are device_put asynchronously.
     cache_hbm_limit_bytes: int = 4 << 30
+    # Storage dtype of the cached teacher outputs: "auto" follows the
+    # model's compute dtype (fp32 cache for fp32 training), "bfloat16"
+    # forces a half-size cache. bf16 rounds the frozen targets once at
+    # fill time (~3 significant digits — negligible against the KD loss
+    # terms) and halves both the HBM footprint and any host-spill
+    # transfer; it is what lets a 4x-wide teacher's cache coexist with
+    # the student step on one 16 GB chip (the fp32 cache at that width
+    # measured 2.77 GB over HBM capacity).
+    cache_dtype: str = "auto"
     # How the frozen teacher is partitioned over the mesh's 'model' axis
     # (only meaningful when MeshConfig.model_parallel > 1; parallel/tp.py):
     #   "tp" — tensor parallelism: every conv/dense kernel channel-sharded,

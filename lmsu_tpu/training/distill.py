@@ -419,6 +419,9 @@ class DistillationTrainer(Trainer):
 
     def _tap_dtype(self):
         import jax.numpy as jnp
+        if self.kd.cache_dtype == "bfloat16":
+            return jnp.bfloat16
+        assert self.kd.cache_dtype == "auto", self.kd.cache_dtype
         return jnp.bfloat16 if self.config.model.compute_dtype == jnp.bfloat16 \
             else jnp.float32
 

@@ -77,8 +77,24 @@ def main(argv=None):
             "--teacher-width", str(width), "--cache-hbm-gb",
             _cache_gb(width)]
         tck = f"{save}_teacher/best.ckpt"
-        if os.path.exists(tck):
-            print(f"\n=== width {width}: reusing teacher ===", flush=True)
+        cache_dtype = None
+        if width >= 3.0:
+            # The fp32 teacher cache at w=4 is ~10.1 GB and measured
+            # 2.77 GB over one v5e's HBM next to the student step — the
+            # multi-chip regime tp/sp exist for. On this one-chip env the
+            # bf16 cache (KDConfig.cache_dtype) halves it and fits; the
+            # frozen targets round once at fill time (~3 significant
+            # digits — negligible vs the KD loss terms). Recorded in the
+            # artifact.
+            cache_dtype = "bfloat16"
+            seed_args += ["--cache-dtype", cache_dtype]
+        from_ckpt = os.path.exists(tck)
+        if from_ckpt:
+            # Note: distilling from best.ckpt (best-epoch weights) — the
+            # fresh --train-teacher path uses the final-epoch state, like
+            # the committed w=2 anchor. Recorded in the artifact.
+            print(f"\n=== width {width}: distill from teacher ckpt ===",
+                  flush=True)
             seed_args += ["--teacher-checkpoint", tck]
         else:
             print(f"\n=== width {width}: teacher + distill ===", flush=True)
@@ -86,6 +102,10 @@ def main(argv=None):
         best = float(train_distill.main(seed_args))
         teacher_best = _teacher_best(f"{save}_teacher")
         per_width[str(width)] = {"teacher": teacher_best, "student": best}
+        if cache_dtype is not None:
+            per_width[str(width)]["cache_dtype"] = cache_dtype
+        if from_ckpt:
+            per_width[str(width)]["teacher_weights"] = "best_ckpt"
         with open(args.output, "w") as f:
             json.dump(_payload(per_width, args.seed), f, indent=2)
         print(f"width {width}: teacher {teacher_best:.4f} "

@@ -52,6 +52,10 @@ def main(argv=None) -> float:
     p.add_argument("--use-pallas-kd", action="store_true")
     p.add_argument("--cache-teacher", action="store_true",
                    help="precompute frozen-teacher outputs once (HBM cache)")
+    p.add_argument("--cache-dtype", default=None,
+                   choices=["auto", "bfloat16"],
+                   help="teacher-cache storage dtype (KDConfig.cache_dtype);"
+                   " bfloat16 halves the cache for very wide teachers")
     p.add_argument("--teacher-partition", default=None,
                    choices=["tp", "sp"],
                    help="how the teacher shards over the 'model' axis "
@@ -82,6 +86,8 @@ def main(argv=None) -> float:
             kd, cache_hbm_limit_bytes=int(args.cache_hbm_gb * (1 << 30)))
     if args.teacher_partition is not None:
         kd = dataclasses.replace(kd, teacher_partition=args.teacher_partition)
+    if args.cache_dtype is not None:
+        kd = dataclasses.replace(kd, cache_dtype=args.cache_dtype)
     cfg = ExperimentConfig(
         model=ModelConfig(num_classes=2, fusion_type="weighted",
                           fusion_out_channels=128),

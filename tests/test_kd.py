@@ -143,6 +143,33 @@ class TestDistillationE2E:
                 assert np.isfinite(loss2)
         assert losses["spilled"] == pytest.approx(losses["inloop"], rel=1e-4)
 
+    def test_bf16_cache_dtype_close_to_inloop(self, tmp_path):
+        """cache_dtype='bfloat16' halves the cache (for very wide teachers)
+        by rounding the frozen targets once at fill time; the loss must
+        stay close to the exact fp32-cache/in-loop value."""
+        import jax.numpy as jnp
+        cfg_a = _tiny_cfg(tmp_path)
+        cfg_b = cfg_a.replace(train=dataclasses.replace(
+            cfg_a.train, kd=dataclasses.replace(
+                cfg_a.train.kd, cache_teacher=True,
+                cache_dtype="bfloat16")))
+        losses = {}
+        for name, cfg in (("inloop", cfg_a), ("bf16cache", cfg_b)):
+            train_ds, val_ds = create_datasets(cfg.data)
+            t = DistillationTrainer(
+                cfg, make_loader(train_ds, 8, shuffle=True),
+                make_loader(val_ds, 8, shuffle=False))
+            loss, _ = t.train_epoch()
+            losses[name] = loss
+            if name == "bf16cache":
+                assert all(v.dtype == jnp.bfloat16
+                           for v in t.teacher_cache.values())
+        # bf16 rounding of the targets perturbs the loss slightly but must
+        # not change it materially.
+        assert losses["bf16cache"] == pytest.approx(losses["inloop"],
+                                                    rel=2e-2)
+        assert losses["bf16cache"] != losses["inloop"]
+
     def test_scanned_kd_epoch_matches(self, tmp_path):
         import dataclasses
         cfg_a = _tiny_cfg(tmp_path)
