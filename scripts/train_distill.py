@@ -23,53 +23,10 @@ from lmsu_tpu.config import (ExperimentConfig, KDConfig, ModelConfig,
 from lmsu_tpu.training import DistillationTrainer, Trainer
 
 
-def main(argv=None) -> float:
-    apply_env_platform()
-    p = argparse.ArgumentParser(description=__doc__)
-    add_common_args(p)
-    p.add_argument("--teacher-checkpoint", action="append", default=None,
-                   help="trained teacher .ckpt (else random teacher); "
-                        "repeat the flag for a deep-ensemble teacher "
-                        "(member-averaged logits/taps — KDConfig."
-                        "teacher_checkpoints)")
-    p.add_argument("--train-teacher", action="store_true",
-                   help="train the teacher first, then distill")
-    p.add_argument("--num-teachers", type=int, default=1,
-                   help="with --train-teacher: train this many ensemble "
-                        "members (data-order/init seeds offset by 1000 "
-                        "each) and distill from their average")
-    p.add_argument("--teacher-epochs", type=int, default=None)
-    p.add_argument("--temperature", type=float, default=2.0)
-    p.add_argument("--alpha-kl", type=float, default=0.5)
-    p.add_argument("--beta-feature", type=float, default=0.5)
-    p.add_argument("--teacher-width", type=float, default=2.0)
-    p.add_argument("--teacher-lidar-encoder", default=None,
-                   choices=["spatial", "pointpillars"],
-                   help="teacher LiDAR encoder when it differs from the "
-                        "student's (cross-architecture KD: both encoders "
-                        "emit [B,H,W,C] BEV maps, so the learned feature "
-                        "projections are encoder-agnostic)")
-    p.add_argument("--use-pallas-kd", action="store_true")
-    p.add_argument("--cache-teacher", action="store_true",
-                   help="precompute frozen-teacher outputs once (HBM cache)")
-    p.add_argument("--cache-dtype", default=None,
-                   choices=["auto", "bfloat16"],
-                   help="teacher-cache storage dtype (KDConfig.cache_dtype);"
-                   " bfloat16 halves the cache for very wide teachers")
-    p.add_argument("--teacher-partition", default=None,
-                   choices=["tp", "sp"],
-                   help="how the teacher shards over the 'model' axis "
-                   "when --model-parallel > 1: 'tp' channel-shards the "
-                   "weights, 'sp' shards activations on H "
-                   "(KDConfig.teacher_partition)")
-    p.add_argument("--cache-hbm-gb", type=float, default=None,
-                   help="HBM budget for the teacher cache in GiB "
-                   "(KDConfig.cache_hbm_limit_bytes, default 4); larger "
-                   "caches spill to host RAM with a per-step gather — "
-                   "raise this when the cache fits next to the model "
-                   "(v5e: 16 GiB) to avoid re-transferring it every epoch")
-    args = p.parse_args(argv)
-
+def build_configs(args):
+    """Resolve the parsed CLI into (student ExperimentConfig, teacher
+    ModelConfig). Teacher width is anchored to the REFERENCE-size model, so
+    the teacher config is computed before any --width student shrink."""
     ckpts = args.teacher_checkpoint or []
     kd = KDConfig(enabled=True, temperature=args.temperature,
                   alpha_kl=args.alpha_kl, beta_feature=args.beta_feature,
@@ -100,6 +57,73 @@ def main(argv=None) -> float:
     if args.teacher_lidar_encoder is not None:
         tcfg_model = tcfg_model.replace(lidar=dataclasses.replace(
             tcfg_model.lidar, encoder_type=args.teacher_lidar_encoder))
+    if args.width != 1.0:
+        cfg = cfg.replace(model=teacher_config(cfg.model, args.width))
+    return cfg, tcfg_model
+
+
+def make_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__)
+    add_common_args(p)
+    p.add_argument("--teacher-checkpoint", action="append", default=None,
+                   help="trained teacher .ckpt (else random teacher); "
+                        "repeat the flag for a deep-ensemble teacher "
+                        "(member-averaged logits/taps — KDConfig."
+                        "teacher_checkpoints)")
+    p.add_argument("--train-teacher", action="store_true",
+                   help="train the teacher first, then distill")
+    p.add_argument("--num-teachers", type=int, default=1,
+                   help="with --train-teacher: train this many ensemble "
+                        "members (data-order/init seeds offset by 1000 "
+                        "each) and distill from their average")
+    p.add_argument("--teacher-epochs", type=int, default=None)
+    p.add_argument("--temperature", type=float, default=2.0)
+    p.add_argument("--alpha-kl", type=float, default=0.5)
+    p.add_argument("--beta-feature", type=float, default=0.5)
+    p.add_argument("--teacher-width", type=float, default=2.0,
+                   help="teacher width multiplier, relative to the "
+                        "REFERENCE-size (width-1) model — independent of "
+                        "--width, so '--width 0.5 --teacher-width 2' "
+                        "distills a half-width student from the standard "
+                        "2x teacher")
+    p.add_argument("--width", type=float, default=1.0,
+                   help="STUDENT width multiplier (teacher_config scaling "
+                        "of every channel dimension; 1.0 = reference size) "
+                        "— the compression knob measured in "
+                        "kd_compression_results.json")
+    p.add_argument("--teacher-lidar-encoder", default=None,
+                   choices=["spatial", "pointpillars"],
+                   help="teacher LiDAR encoder when it differs from the "
+                        "student's (cross-architecture KD: both encoders "
+                        "emit [B,H,W,C] BEV maps, so the learned feature "
+                        "projections are encoder-agnostic)")
+    p.add_argument("--use-pallas-kd", action="store_true")
+    p.add_argument("--cache-teacher", action="store_true",
+                   help="precompute frozen-teacher outputs once (HBM cache)")
+    p.add_argument("--cache-dtype", default=None,
+                   choices=["auto", "bfloat16"],
+                   help="teacher-cache storage dtype (KDConfig.cache_dtype);"
+                   " bfloat16 halves the cache for very wide teachers")
+    p.add_argument("--teacher-partition", default=None,
+                   choices=["tp", "sp"],
+                   help="how the teacher shards over the 'model' axis "
+                   "when --model-parallel > 1: 'tp' channel-shards the "
+                   "weights, 'sp' shards activations on H "
+                   "(KDConfig.teacher_partition)")
+    p.add_argument("--cache-hbm-gb", type=float, default=None,
+                   help="HBM budget for the teacher cache in GiB "
+                   "(KDConfig.cache_hbm_limit_bytes, default 4); larger "
+                   "caches spill to host RAM with a per-step gather — "
+                   "raise this when the cache fits next to the model "
+                   "(v5e: 16 GiB) to avoid re-transferring it every epoch")
+    return p
+
+
+def main(argv=None) -> float:
+    apply_env_platform()
+    args = make_parser().parse_args(argv)
+
+    cfg, tcfg_model = build_configs(args)
 
     teacher_vars = None
     if args.train_teacher:

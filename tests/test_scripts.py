@@ -66,3 +66,28 @@ class TestAnalysisScripts:
                         "--fusion-type", "bogus"])
         assert r.returncode == 2
         assert "invalid choice" in r.stderr
+
+
+class TestTrainDistillCLI:
+    def test_width_flag_shrinks_student_not_teacher(self):
+        """--width compresses the STUDENT (teacher_config scaling) while
+        --teacher-width stays anchored to the reference-size model — the
+        contract scripts/experiment_capacity_gap.py relies on."""
+        sys.path.insert(0, REPO)
+        from scripts import train_distill
+
+        p = train_distill.make_parser()
+        args = p.parse_args(["--fusion-type", "minimal",
+                             "--fusion-channels", "128",
+                             "--width", "0.5", "--teacher-width", "4"])
+        cfg, tcfg = train_distill.build_configs(args)
+        assert cfg.model.camera.width_mult == 0.5
+        assert cfg.model.fusion_out_channels == 64
+        assert tcfg.camera.width_mult == 4.0
+        assert tcfg.fusion_out_channels == 512
+
+        # Default --width 1.0 leaves the student at reference size.
+        args = p.parse_args([])
+        cfg, tcfg = train_distill.build_configs(args)
+        assert cfg.model.camera.width_mult == 1.0
+        assert tcfg.camera.width_mult == 2.0
