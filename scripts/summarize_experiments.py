@@ -394,6 +394,78 @@ def section_teacher_scaling(out):
     for w, r in sorted(d["per_width"].items(), key=lambda t: float(t[0])):
         out.append(f"| {w} | {f4(r['teacher'])} | **{f4(r['student'])}** |")
     out.append("")
+    extra = [(s, load(f"teacher_scaling_s{s}.json")) for s in (1, 2)]
+    extra = [(s, e) for s, e in extra if e and "4.0" in e["per_width"]]
+    if extra:
+        out.append("w=4.0 replicated across seeds (`teacher_scaling_s{1,2}"
+                   ".json`; the w=2.0 anchor is each seed's committed "
+                   "best_overall arm):\n")
+        out.append("| seed | w=4 teacher | w=4 student | w=2 student "
+                   "(committed) | gap |")
+        out.append("|---|---|---|---|---|")
+        rows = [(str(seed), e["per_width"]) for seed, e in extra]
+        rows.insert(0, (str(seed), d["per_width"]))
+        for s, pw in rows:
+            r4, r2 = pw["4.0"], pw.get("2.0")
+            if r2 is None:
+                continue
+            g = r4["student"] - r2["student"]
+            out.append(
+                f"| {s} | {f4(r4['teacher'])} | **{f4(r4['student'])}** | "
+                f"{f4(r2['student'])} | {'+' if g >= 0 else ''}{pct(g)} pt |")
+        out.append("")
+
+
+def section_capacity_gap(out):
+    d = load("capacity_gap_results.json")
+    if not d:
+        return
+    seed = d["config"]["seed"]
+    sw = d["config"]["student"]
+    full = load("teacher_scaling_results.json") or {"per_width": {}}
+    out.append("## Capacity gap: teacher width vs a HALF-width student\n")
+    out.append(
+        "`capacity_gap_results.json` — scripts/experiment_capacity_gap.py; "
+        f"same regime/recipe/seed ({seed}) as the teacher-width scaling "
+        f"sweep but the student is {sw}. The classic capacity-gap "
+        "question (Mirzadeh et al.'s teacher-assistant setup): does the "
+        "biggest teacher stop helping once the student is far smaller? "
+        "Full-size-student rows repeated from "
+        "teacher_scaling_results.json for side-by-side reading.\n")
+    out.append("| teacher width | teacher | student w=0.5 | "
+               "student w=1.0 (tscale) |")
+    out.append("|---|---|---|---|")
+    for w, r in sorted(d["per_teacher_width"].items(),
+                       key=lambda t: float(t[0])):
+        fr = full["per_width"].get(w)
+        fs = f4(fr["student"]) if fr else "—"
+        out.append(f"| {w} | {f4(r['teacher'])} | **{f4(r['student'])}** | "
+                   f"{fs} |")
+    out.append("")
+
+
+def section_ta_chain(out):
+    d = load("ta_chain_results.json")
+    if not d or "student" not in d["stages"]:
+        return
+    grid = load("capacity_gap_results.json") or {"per_teacher_width": {}}
+    out.append("## Teacher-assistant chain (w=4 → w=1 TA → w=0.5)\n")
+    out.append(
+        "`ta_chain_results.json` — scripts/experiment_ta_chain.py; the "
+        "classic Mirzadeh et al. fix for the capacity gap, measured "
+        "against the direct cells of the grid above (same seed/regime/"
+        "recipe). Stage A distills the grid's w=4 teacher into a "
+        "full-size TA (also a reproduction of the tscale w=4 row, "
+        f"committed {f4(d['tscale_w4_student_committed'])}); stage B "
+        "distills the TA into the half-width student.\n")
+    out.append("| arm | w=0.5 student |")
+    out.append("|---|---|")
+    for tw, r in sorted(grid["per_teacher_width"].items(),
+                        key=lambda t: float(t[0])):
+        out.append(f"| direct w{tw} → 0.5 | {f4(r['student'])} |")
+    out.append(f"| chain w4 → 1 → 0.5 | **{f4(d['stages']['student'])}** |")
+    out.append(f"\nStage-A TA (w=1, KD-trained from the w=4 teacher): "
+               f"{f4(d['stages']['ta'])}.\n")
 
 
 def section_ema(out):
@@ -607,6 +679,8 @@ def main(argv=None):
     section_best_overall(out)
     section_kd_ensemble(out)
     section_teacher_scaling(out)
+    section_capacity_gap(out)
+    section_ta_chain(out)
     section_ema(out)
     section_fusion_ablation(out)
     section_weighted_gate(out)
