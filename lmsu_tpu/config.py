@@ -291,15 +291,23 @@ class KDConfig:
     # the student step on one 16 GB chip (the fp32 cache at that width
     # measured 2.77 GB over HBM capacity).
     cache_dtype: str = "auto"
-    # How the frozen teacher is partitioned over the mesh's 'model' axis
-    # (only meaningful when MeshConfig.model_parallel > 1; parallel/tp.py):
-    #   "tp" — tensor parallelism: every conv/dense kernel channel-sharded,
-    #          activations inherit the sharding, GSPMD inserts the
-    #          all-gathers. Fits teachers wider than one chip's HBM.
+    # How the frozen teacher is partitioned over the mesh (parallel/tp.py):
+    #   "tp" — tensor parallelism: every conv/dense kernel channel-sharded
+    #          over the 'model' axis, activations inherit the sharding,
+    #          GSPMD inserts the all-gathers. Fits teachers wider than one
+    #          chip's HBM. Needs MeshConfig.model_parallel > 1.
     #   "sp" — spatial partitioning: teacher weights replicated, the input
-    #          image (and thus every conv activation) sharded on H; GSPMD
-    #          inserts the halo exchanges. Fits higher-resolution teachers
-    #          whose ACTIVATIONS dominate memory.
+    #          image (and thus every conv activation) sharded on H over the
+    #          'model' axis; GSPMD inserts the halo exchanges. Fits higher-
+    #          resolution teachers whose ACTIVATIONS dominate memory. Needs
+    #          MeshConfig.model_parallel > 1.
+    #   "fsdp" — ZeRO-3-style storage sharding: every teacher weight leaf's
+    #          largest divisible dim is sharded over the DATA axis and GSPMD
+    #          all-gathers each weight just before use. Compute stays full-
+    #          width per device (no narrow-layer inefficiency) and no model
+    #          axis is needed — parameter memory scales down with plain data
+    #          parallelism. The right choice when weights (not activations)
+    #          are what doesn't fit and model_parallel is unwanted.
     # Either way the student stays pure data-parallel.
     teacher_partition: str = "tp"
 
@@ -325,6 +333,13 @@ class TrainConfig:
     class_weights: Optional[Tuple[float, ...]] = (0.4, 3.5)
     ignore_index: int = -1
     save_dir: str = "checkpoints/run"
+    # Write checkpoints from a background thread (checkpoint.py
+    # AsyncCheckpointer): the epoch loop snapshots the state with an
+    # on-device copy and moves on; D2H transfer, serialization and disk IO
+    # overlap the next epoch's compute. Same files, same latest/best
+    # semantics; the trainer flushes the queue at the end of train() and
+    # before any resume load.
+    async_checkpoint: bool = False
     seed: int = 0
     log_every: int = 10
     metrics_num_classes: int = 2   # reference quirk: hard-coded 2 (trainer.py:78)

@@ -86,3 +86,65 @@ def shard_variables_tp(variables: Any, mesh: Mesh,
     """device_put `variables` with channel-TP placement over the mesh."""
     shardings = tp_shardings(variables, mesh, axis)
     return jax.tree_util.tree_map(jax.device_put, variables, shardings)
+
+
+# -- FSDP (ZeRO-3-style) storage sharding ------------------------------------
+#
+# Tensor parallelism shards the teacher's COMPUTE: every device owns a
+# channel slice and GSPMD all-gathers activations where a full Cin is
+# contracted.  FSDP shards only the teacher's STORAGE: each weight leaf is
+# split over the *data* axis, and because the batch is sharded on that same
+# axis, GSPMD's only consistent plan is to all-gather each weight just
+# before its conv/dense uses it (an axis can shard at most one dim of a
+# tensor, so a 'data'-sharded batch and 'data'-sharded Cout cannot coexist
+# in one conv output) — exactly ZeRO-3's gather-on-use, expressed as a
+# placement rule with zero hand-written collectives.  Unlike tp/sp it needs
+# no 'model' axis: per-device teacher parameter memory drops by the
+# data-parallel degree on the plain 1-D mesh, with no efficiency loss on
+# narrow layers (each device still computes the full-width conv).  The
+# trade is one weight all-gather per layer per step — negligible for a
+# frozen teacher whose weights are a few MB against multi-GB activations,
+# and zero for the cached-teacher path after the fill epoch.
+
+
+def _fsdp_leaf_spec(path, leaf, axis: str, axis_size: int) -> P:
+    """Shard the leaf's largest axis-divisible dim; replicate if none.
+
+    Unlike the TP rule there is no classifier carve-out: FSDP sharding is
+    storage-only, so slicing any dim of any leaf is always semantically
+    free (GSPMD regathers on use).
+    """
+    del path
+    shape = getattr(leaf, "shape", ())
+    if not shape:
+        return P()
+    divisible = [d for d, s in enumerate(shape) if s % axis_size == 0 and s]
+    if not divisible:
+        return P()
+    best = max(divisible, key=lambda d: shape[d])
+    spec = [None] * len(shape)
+    spec[best] = axis
+    return P(*spec)
+
+
+def fsdp_shardings(variables: Any, mesh: Mesh,
+                   axis: Optional[str] = None) -> Any:
+    """Pytree of NamedShardings storage-sharding `variables` over the
+    mesh's data axis (or `axis`), ZeRO-3 style."""
+    if axis is None:
+        axis = mesh.axis_names[0]
+    size = mesh.shape[axis]
+    if size == 1:
+        return jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P()), variables)
+    return tree_map_with_path(
+        lambda path, leaf: NamedSharding(mesh, _fsdp_leaf_spec(path, leaf,
+                                                               axis, size)),
+        variables)
+
+
+def shard_variables_fsdp(variables: Any, mesh: Mesh,
+                         axis: Optional[str] = None) -> Any:
+    """device_put `variables` with FSDP storage sharding over the mesh."""
+    shardings = fsdp_shardings(variables, mesh, axis)
+    return jax.tree_util.tree_map(jax.device_put, variables, shardings)

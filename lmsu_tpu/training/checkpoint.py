@@ -14,9 +14,12 @@ from __future__ import annotations
 
 import json
 import os
+import queue
+import threading
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -41,6 +44,70 @@ def _atomic_write(path: str, data: bytes) -> None:
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint D2H transfer, serialization and disk IO with
+    training (the reference saves synchronously on the train thread,
+    trainer.py:116-142; at TPU scale the save sits on the critical path
+    between epochs, and over this host's relay the device_get alone is
+    tens of ms).
+
+    `save()` snapshots every device array with an on-device copy — an
+    async dispatch that returns immediately and, crucially, decouples the
+    snapshot from the trainer's DONATED state buffers (the next train step
+    consumes `self.state`; the copies live until the writer is done with
+    them) — then enqueues the snapshot for a single background thread that
+    fetches it to host, serializes, and atomically writes latest/best.
+    Writes are FIFO, so `latest.ckpt` always ends up at the newest epoch.
+
+    Worker errors are sticky: they re-raise on the next `save()`/`wait()`.
+    Call `wait()` before reading checkpoints back or ending the run.
+    """
+
+    def __init__(self) -> None:
+        self._q: "queue.Queue" = queue.Queue()
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._worker, daemon=True,
+                                        name="lmsu-ckpt-writer")
+        self._thread.start()
+
+    @staticmethod
+    def _snapshot_leaf(x):
+        if isinstance(x, jax.Array):
+            return jnp.copy(x)
+        if isinstance(x, np.ndarray):
+            return np.copy(x)
+        return x
+
+    def save(self, save_dir: str, state_dict: Dict[str, Any], epoch: int,
+             val_miou: float, is_best: bool = False) -> None:
+        self._raise_pending()
+        snap = jax.tree_util.tree_map(self._snapshot_leaf, state_dict)
+        self._q.put((save_dir, snap, int(epoch), float(val_miou),
+                     bool(is_best)))
+
+    def wait(self) -> None:
+        """Block until every enqueued checkpoint is durably on disk."""
+        self._q.join()
+        self._raise_pending()
+
+    def _raise_pending(self) -> None:
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def _worker(self) -> None:
+        while True:
+            item = self._q.get()
+            try:
+                save_dir, snap, epoch, val_miou, is_best = item
+                save_checkpoint(save_dir, jax.device_get(snap), epoch,
+                                val_miou, is_best)
+            except BaseException as e:  # surfaced on next save()/wait()
+                self._error = e
+            finally:
+                self._q.task_done()
 
 
 def load_checkpoint_raw(path: str) -> Dict[str, Any]:

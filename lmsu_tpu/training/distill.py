@@ -173,9 +173,20 @@ class DistillationTrainer(Trainer):
         # On a 2-D ('data', 'model') mesh the frozen teacher is channel-
         # sharded over the model axis (tensor parallelism, parallel/tp.py);
         # on the default 1-D mesh this is plain replication.
-        from lmsu_tpu.parallel.tp import shard_variables_tp, tp_axis
+        from lmsu_tpu.parallel.tp import (shard_variables_fsdp,
+                                          shard_variables_tp, tp_axis)
+        if self.kd.teacher_partition not in ("tp", "sp", "fsdp"):
+            raise ValueError(
+                f"unknown KDConfig.teacher_partition "
+                f"{self.kd.teacher_partition!r}; expected 'tp', 'sp' or "
+                f"'fsdp'")
         _tp_ax = tp_axis(self.mesh)
-        if _tp_ax is not None and self.kd.teacher_partition == "tp":
+        if self.kd.teacher_partition == "fsdp":
+            # ZeRO-3-style storage sharding over the DATA axis — needs no
+            # model axis; GSPMD gathers each weight on use (parallel/tp.py).
+            self.teacher_variables = shard_variables_fsdp(
+                self._init_teacher(), self.mesh)
+        elif _tp_ax is not None and self.kd.teacher_partition == "tp":
             self.teacher_variables = shard_variables_tp(
                 self._init_teacher(), self.mesh)
         else:

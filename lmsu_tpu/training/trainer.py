@@ -496,10 +496,24 @@ class Trainer:
 
     def save_checkpoint(self, epoch: int, val_miou: float,
                         is_best: bool = False) -> None:
-        ckpt.save_checkpoint(self.save_dir, self._state_dict(), epoch,
-                             val_miou, is_best)
+        if self.config.train.async_checkpoint:
+            if getattr(self, "_async_ckpt", None) is None:
+                self._async_ckpt = ckpt.AsyncCheckpointer()
+            # Device state, not _state_dict(): the checkpointer snapshots
+            # on-device and fetches on its own thread.
+            self._async_ckpt.save(self.save_dir, {"state": self.state},
+                                  epoch, val_miou, is_best)
+        else:
+            ckpt.save_checkpoint(self.save_dir, self._state_dict(), epoch,
+                                 val_miou, is_best)
+
+    def flush_checkpoints(self) -> None:
+        """Block until async checkpoint writes (if any) are on disk."""
+        if getattr(self, "_async_ckpt", None) is not None:
+            self._async_ckpt.wait()
 
     def load_checkpoint(self, path: str) -> int:
+        self.flush_checkpoints()
         restored = ckpt.load_checkpoint(path, self._state_dict())
         self.state = replicate(restored["state"], self.mesh)
         start_epoch = int(restored["epoch"]) + 1
@@ -547,5 +561,6 @@ class Trainer:
                 self.best_miou = val_miou
                 log(f"  New best mIoU: {val_miou:.4f}")
             self.save_checkpoint(epoch, val_miou, is_best=is_best)
+        self.flush_checkpoints()
         log(f"Training completed! Best validation mIoU: {self.best_miou:.4f}")
         return self.best_miou

@@ -80,12 +80,18 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
                    help="size of a second ('model') mesh axis — builds a "
                    "2-D ('data','model') mesh; the KD teacher is tensor- "
                    "or spatially-partitioned over it (parallel/tp.py, "
-                   "KDConfig.teacher_partition); other paths replicate")
+                   "KDConfig.teacher_partition); other paths replicate. "
+                   "Not needed for --teacher-partition fsdp, which shards "
+                   "teacher weight storage over the data axis")
     p.add_argument("--grad-clip-norm", type=float, default=None,
                    help="clip gradients to this global L2 norm")
     p.add_argument("--ema-decay", type=float, default=None,
                    help="maintain an EMA of the params on-chip; validation/"
                    "best-checkpoint/inference use the EMA weights")
+    p.add_argument("--async-checkpoint", action="store_true",
+                   help="write checkpoints from a background thread "
+                   "(TrainConfig.async_checkpoint): D2H transfer, "
+                   "serialization and disk IO overlap the next epoch")
     p.add_argument("--augment", action="store_true",
                    help="enable the standard device-side augmentation "
                    "recipe: hflip 0.5, brightness/contrast 0.1, image "
@@ -163,6 +169,8 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         train_kw["grad_clip_norm"] = args.grad_clip_norm
     if getattr(args, "ema_decay", None) is not None:
         train_kw["ema_decay"] = args.ema_decay
+    if getattr(args, "async_checkpoint", False):
+        train_kw["async_checkpoint"] = True
     if getattr(args, "onchip_epoch", False):
         train_kw["onchip_epoch"] = True
     if getattr(args, "progress", False):

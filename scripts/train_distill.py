@@ -105,11 +105,13 @@ def make_parser() -> argparse.ArgumentParser:
                    help="teacher-cache storage dtype (KDConfig.cache_dtype);"
                    " bfloat16 halves the cache for very wide teachers")
     p.add_argument("--teacher-partition", default=None,
-                   choices=["tp", "sp"],
-                   help="how the teacher shards over the 'model' axis "
-                   "when --model-parallel > 1: 'tp' channel-shards the "
-                   "weights, 'sp' shards activations on H "
-                   "(KDConfig.teacher_partition)")
+                   choices=["tp", "sp", "fsdp"],
+                   help="how the teacher shards over the mesh: 'tp' "
+                   "channel-shards the weights / 'sp' shards activations "
+                   "on H (both over the 'model' axis, need "
+                   "--model-parallel > 1); 'fsdp' storage-shards the "
+                   "weights over the DATA axis, ZeRO-3 style (works on "
+                   "the plain 1-D mesh) (KDConfig.teacher_partition)")
     p.add_argument("--cache-hbm-gb", type=float, default=None,
                    help="HBM budget for the teacher cache in GiB "
                    "(KDConfig.cache_hbm_limit_bytes, default 4); larger "

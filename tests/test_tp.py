@@ -18,7 +18,8 @@ from lmsu_tpu.config import (CameraEncoderConfig, DataConfig,
 from lmsu_tpu.models import create_model, init_model
 from lmsu_tpu.parallel.mesh import (data_sharding, make_mesh,
                                     replicated_sharding)
-from lmsu_tpu.parallel.tp import shard_variables_tp, tp_axis, tp_shardings
+from lmsu_tpu.parallel.tp import (fsdp_shardings, shard_variables_fsdp,
+                                  shard_variables_tp, tp_axis, tp_shardings)
 
 
 @pytest.fixture(scope="module")
@@ -189,3 +190,77 @@ class TestKDTrainerOnTPMesh:
         assert abs(l1 - l2) < 1e-4, (l1, l2)
         assert abs(v1 - v2) < 1e-4, (v1, v2)
         assert m1 == pytest.approx(m2, abs=1e-6)
+
+    def test_fsdp_teacher_matches_dp(self, dp_baseline):
+        # FSDP needs no model axis: the teacher's weights are storage-
+        # sharded over the full 8-way DATA axis of the plain 1-D mesh.
+        l1, v1, m1 = dp_baseline
+        l2, v2, m2 = _run_kd_epoch(_kd_config(mp=1,
+                                              teacher_partition="fsdp"))
+        assert abs(l1 - l2) < 1e-4, (l1, l2)
+        assert abs(v1 - v2) < 1e-4, (v1, v2)
+        assert m1 == pytest.approx(m2, abs=1e-6)
+
+    def test_unknown_partition_raises(self):
+        with pytest.raises(ValueError, match="teacher_partition"):
+            _run_kd_epoch(_kd_config(mp=1, teacher_partition="zp"))
+
+
+class TestFSDPShardings:
+    def test_largest_divisible_dim_sharded(self):
+        mesh = make_mesh(MeshConfig())  # 1-D, 8 devices
+        tree = {
+            "conv": jnp.zeros((3, 3, 16, 32)),   # Cout=32 largest divisible
+            "dense": jnp.zeros((24, 8)),          # dim0=24 largest divisible
+            "vec": jnp.zeros((16,)),              # sharded
+            "odd": jnp.zeros((7, 5)),             # nothing divides 8
+            "scalar": jnp.zeros(()),
+        }
+        sh = fsdp_shardings(tree, mesh)
+        assert sh["conv"].spec == P(None, None, None, "data")
+        assert sh["dense"].spec == P("data", None)
+        assert sh["vec"].spec == P("data")
+        assert sh["odd"].spec == P()
+        assert sh["scalar"].spec == P()
+
+    def test_no_classifier_carveout(self, tiny_model):
+        # Unlike TP, FSDP may slice the classifier: storage-only sharding
+        # is semantically free for every leaf.
+        _, _, variables = tiny_model
+        sh = fsdp_shardings(variables, make_mesh(MeshConfig()))
+        kern = variables["params"]["head"]["cls"]["kernel"]
+        spec = sh["params"]["head"]["cls"]["kernel"].spec
+        divisible = [d for d, s in enumerate(kern.shape) if s % 8 == 0]
+        if divisible:
+            assert spec != P()
+        else:
+            assert spec == P()
+
+    def test_per_device_storage_shrinks(self, tiny_model):
+        _, _, variables = tiny_model
+        mesh = make_mesh(MeshConfig())
+        v = shard_variables_fsdp(variables, mesh)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(v)[0]:
+            full = int(np.prod(leaf.shape)) if leaf.shape else 1
+            shard = leaf.addressable_shards[0].data.size
+            if any(s % 8 == 0 and s for s in leaf.shape):
+                assert shard * 8 == full, (path, leaf.shape)
+            else:
+                assert shard == full, (path, leaf.shape)
+
+    def test_forward_matches_replicated(self, tiny_model, rng):
+        _, model, variables = tiny_model
+        mesh = make_mesh(MeshConfig())
+        img, pts = _tiny_batch(rng)
+        dsh = data_sharding(mesh)
+        v_f = shard_variables_fsdp(variables, mesh)
+        out_f = jax.jit(
+            lambda v, i, p: model.apply(v, i, p, train=False),
+            in_shardings=(fsdp_shardings(variables, mesh), dsh, dsh),
+            out_shardings=dsh)(
+            v_f, jax.device_put(img, dsh), jax.device_put(pts, dsh))
+        out_ref = jax.jit(
+            lambda v, i, p: model.apply(v, i, p, train=False))(
+                variables, img, pts)
+        np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_ref),
+                                   atol=1e-5, rtol=1e-5)

@@ -398,3 +398,76 @@ class TestEvaluateScript:
         # train split evaluates too (eval-mode BN, no weight updates)
         r2 = evaluate_checkpoint(cfg, ckpt, split="train")
         assert 0.0 <= r2["miou"] <= 1.0
+
+
+class TestAsyncCheckpoint:
+    """AsyncCheckpointer (training/checkpoint.py): background-thread writes
+    with on-device snapshotting, same files/semantics as the sync path."""
+
+    def test_files_match_sync_run(self, tmp_path):
+        import dataclasses
+
+        from lmsu_tpu.training import checkpoint as ckptlib
+
+        cfg_s = _tiny_config(tmp_path / "s", num_epochs=2)
+        _make_trainer(cfg_s).train(log=lambda *a, **k: None)
+        cfg_a = _tiny_config(tmp_path / "a", num_epochs=2)
+        cfg_a = cfg_a.replace(train=dataclasses.replace(
+            cfg_a.train, async_checkpoint=True))
+        ta = _make_trainer(cfg_a)
+        ta.train(log=lambda *a, **k: None)  # train() flushes at the end
+        for name in ("latest.ckpt", "best.ckpt"):
+            a = ckptlib.load_checkpoint_raw(
+                os.path.join(cfg_a.train.save_dir, name))
+            s = ckptlib.load_checkpoint_raw(
+                os.path.join(cfg_s.train.save_dir, name))
+            jax.tree_util.tree_map(np.testing.assert_array_equal, a, s)
+
+    def test_resume_from_async_run(self, tmp_path):
+        import dataclasses
+        cfg = _tiny_config(tmp_path, num_epochs=1)
+        cfg = cfg.replace(train=dataclasses.replace(
+            cfg.train, async_checkpoint=True))
+        t1 = _make_trainer(cfg)
+        t1.train(log=lambda *a, **k: None)
+        t2 = _make_trainer(cfg)
+        start = t2.load_checkpoint(os.path.join(cfg.train.save_dir,
+                                                "latest.ckpt"))
+        assert start == 1
+        jax.tree_util.tree_map(np.testing.assert_array_equal,
+                               jax.device_get(t1.state.params),
+                               jax.device_get(t2.state.params))
+
+    def test_snapshot_survives_source_deletion(self, tmp_path):
+        """The on-device copy decouples the write from donation: deleting
+        the source buffer right after save() must not corrupt the file."""
+        import jax.numpy as jnp
+
+        from lmsu_tpu.training.checkpoint import (AsyncCheckpointer,
+                                                  load_checkpoint_raw)
+        ac = AsyncCheckpointer()
+        x = jnp.arange(8.0)
+        ac.save(str(tmp_path / "run"), {"state": {"w": x}}, 0, 0.5,
+                is_best=True)
+        x.delete()  # simulate the next train step consuming the donation
+        ac.wait()
+        for name in ("latest.ckpt", "best.ckpt"):
+            raw = load_checkpoint_raw(str(tmp_path / "run" / name))
+            np.testing.assert_array_equal(raw["state"]["w"],
+                                          np.arange(8.0, dtype=np.float32))
+            assert raw["epoch"] == 0 and raw["val_miou"] == 0.5
+
+    def test_worker_error_is_sticky_and_recoverable(self, tmp_path):
+        import jax.numpy as jnp
+
+        from lmsu_tpu.training.checkpoint import AsyncCheckpointer
+        ac = AsyncCheckpointer()
+        blocker = tmp_path / "not_a_dir"
+        blocker.write_text("x")  # makedirs(save_dir) will fail on this
+        ac.save(str(blocker), {"state": {"w": jnp.zeros(4)}}, 0, 0.0)
+        with pytest.raises(RuntimeError, match="async checkpoint"):
+            ac.wait()
+        # the writer thread survives the error and keeps serving
+        ac.save(str(tmp_path / "ok"), {"state": {"w": jnp.ones(4)}}, 1, 0.1)
+        ac.wait()
+        assert os.path.exists(tmp_path / "ok" / "latest.ckpt")
