@@ -333,6 +333,20 @@ class TrainConfig:
     class_weights: Optional[Tuple[float, ...]] = (0.4, 3.5)
     ignore_index: int = -1
     save_dir: str = "checkpoints/run"
+    # Every N epochs additionally write an immutable epoch_###.ckpt next
+    # to latest/best (same sync/async path). Historical snapshots feed
+    # post-hoc analysis and snapshot-ensemble teachers — the "ensembles
+    # are free when the snapshots already exist" case from the
+    # EnsembleTeacher closure (pass them as KDConfig.teacher_checkpoints).
+    # None = off (reference keeps only latest/best, trainer.py:116-142).
+    snapshot_every: Optional[int] = None
+    # Install a SIGTERM handler for the duration of train() that requests
+    # a graceful stop (Trainer.request_preempt): the loop finishes the
+    # current epoch, records it, writes + flushes its checkpoint, and
+    # returns — so an evicted preemptible slice leaves a consistent
+    # latest.ckpt to resume from instead of a killed process. Off by
+    # default (library code shouldn't take over signals unasked).
+    handle_sigterm: bool = False
     # Write checkpoints from a background thread (checkpoint.py
     # AsyncCheckpointer): the epoch loop snapshots the state with an
     # on-device copy and moves on; D2H transfer, serialization and disk IO

@@ -28,7 +28,10 @@ BEST = "best.ckpt"
 
 
 def save_checkpoint(save_dir: str, state_dict: Dict[str, Any], epoch: int,
-                    val_miou: float, is_best: bool = False) -> None:
+                    val_miou: float, is_best: bool = False,
+                    snapshot: Optional[str] = None) -> None:
+    """Write latest (+ best when is_best, + an immutable `snapshot` file
+    when named — TrainConfig.snapshot_every) from one serialization."""
     os.makedirs(save_dir, exist_ok=True)
     payload = dict(state_dict)
     payload["epoch"] = np.int64(epoch)
@@ -37,6 +40,8 @@ def save_checkpoint(save_dir: str, state_dict: Dict[str, Any], epoch: int,
     _atomic_write(os.path.join(save_dir, LATEST), data)
     if is_best:
         _atomic_write(os.path.join(save_dir, BEST), data)
+    if snapshot:
+        _atomic_write(os.path.join(save_dir, snapshot), data)
 
 
 def _atomic_write(path: str, data: bytes) -> None:
@@ -81,11 +86,12 @@ class AsyncCheckpointer:
         return x
 
     def save(self, save_dir: str, state_dict: Dict[str, Any], epoch: int,
-             val_miou: float, is_best: bool = False) -> None:
+             val_miou: float, is_best: bool = False,
+             snapshot: Optional[str] = None) -> None:
         self._raise_pending()
         snap = jax.tree_util.tree_map(self._snapshot_leaf, state_dict)
         self._q.put((save_dir, snap, int(epoch), float(val_miou),
-                     bool(is_best)))
+                     bool(is_best), snapshot))
 
     def wait(self) -> None:
         """Block until every enqueued checkpoint is durably on disk."""
@@ -101,9 +107,9 @@ class AsyncCheckpointer:
         while True:
             item = self._q.get()
             try:
-                save_dir, snap, epoch, val_miou, is_best = item
+                save_dir, snap, epoch, val_miou, is_best, snapshot = item
                 save_checkpoint(save_dir, jax.device_get(snap), epoch,
-                                val_miou, is_best)
+                                val_miou, is_best, snapshot=snapshot)
             except BaseException as e:  # surfaced on next save()/wait()
                 self._error = e
             finally:

@@ -495,17 +495,19 @@ class Trainer:
         return {"state": jax.device_get(self.state)}
 
     def save_checkpoint(self, epoch: int, val_miou: float,
-                        is_best: bool = False) -> None:
+                        is_best: bool = False,
+                        snapshot: Optional[str] = None) -> None:
         if self.config.train.async_checkpoint:
             if getattr(self, "_async_ckpt", None) is None:
                 self._async_ckpt = ckpt.AsyncCheckpointer()
             # Device state, not _state_dict(): the checkpointer snapshots
             # on-device and fetches on its own thread.
             self._async_ckpt.save(self.save_dir, {"state": self.state},
-                                  epoch, val_miou, is_best)
+                                  epoch, val_miou, is_best,
+                                  snapshot=snapshot)
         else:
             ckpt.save_checkpoint(self.save_dir, self._state_dict(), epoch,
-                                 val_miou, is_best)
+                                 val_miou, is_best, snapshot=snapshot)
 
     def flush_checkpoints(self) -> None:
         """Block until async checkpoint writes (if any) are on disk."""
@@ -530,10 +532,26 @@ class Trainer:
               f"best mIoU {self.best_miou:.4f}")
         return start_epoch
 
+    # -- preemption (no reference analog: the reference has no notion of
+    # -- being evicted; preemptible TPU fleets make this table stakes) -----
+
+    def request_preempt(self) -> None:
+        """Ask the training loop to stop gracefully: it finishes the
+        current epoch, records it, writes/flushes checkpoints, and
+        returns. Resume later from latest.ckpt via load_checkpoint().
+        Safe to call from any thread or from a signal handler."""
+        self._preempt_requested = True
+
     # -- main loop (reference: trainer.py:154-194) -------------------------
 
     def train(self, start_epoch: int = 0, log=print) -> float:
         tc = self.config.train
+        self._preempt_requested = False
+        old_sigterm = None
+        if tc.handle_sigterm:
+            import signal
+            old_sigterm = signal.signal(
+                signal.SIGTERM, lambda *_: self.request_preempt())
         log(f"\nStarting training from epoch {start_epoch + 1}/{tc.num_epochs}")
         for epoch in range(start_epoch, tc.num_epochs):
             self._epoch_index = epoch
@@ -560,7 +578,21 @@ class Trainer:
             if is_best:
                 self.best_miou = val_miou
                 log(f"  New best mIoU: {val_miou:.4f}")
-            self.save_checkpoint(epoch, val_miou, is_best=is_best)
+            snap = (f"epoch_{epoch + 1:03d}.ckpt"
+                    if tc.snapshot_every
+                    and (epoch + 1) % tc.snapshot_every == 0 else None)
+            self.save_checkpoint(epoch, val_miou, is_best=is_best,
+                                 snapshot=snap)
+            if self._preempt_requested:
+                break
+        if old_sigterm is not None:
+            import signal
+            signal.signal(signal.SIGTERM, old_sigterm)
         self.flush_checkpoints()
-        log(f"Training completed! Best validation mIoU: {self.best_miou:.4f}")
+        if self._preempt_requested:
+            log(f"Preempted — stopped after epoch {self._epoch_index + 1}; "
+                f"resume from {self.save_dir}/latest.ckpt")
+        else:
+            log(f"Training completed! Best validation mIoU: "
+                f"{self.best_miou:.4f}")
         return self.best_miou

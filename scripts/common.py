@@ -88,6 +88,15 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--ema-decay", type=float, default=None,
                    help="maintain an EMA of the params on-chip; validation/"
                    "best-checkpoint/inference use the EMA weights")
+    p.add_argument("--snapshot-every", type=int, default=None,
+                   help="every N epochs also write an immutable "
+                   "epoch_###.ckpt (TrainConfig.snapshot_every) — feeds "
+                   "post-hoc analysis and snapshot-ensemble teachers "
+                   "(--teacher-checkpoint each snapshot)")
+    p.add_argument("--handle-sigterm", action="store_true",
+                   help="on SIGTERM finish the current epoch, write + "
+                   "flush latest.ckpt and exit cleanly "
+                   "(TrainConfig.handle_sigterm) — for preemptible fleets")
     p.add_argument("--async-checkpoint", action="store_true",
                    help="write checkpoints from a background thread "
                    "(TrainConfig.async_checkpoint): D2H transfer, "
@@ -171,6 +180,10 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         train_kw["ema_decay"] = args.ema_decay
     if getattr(args, "async_checkpoint", False):
         train_kw["async_checkpoint"] = True
+    if getattr(args, "handle_sigterm", False):
+        train_kw["handle_sigterm"] = True
+    if getattr(args, "snapshot_every", None) is not None:
+        train_kw["snapshot_every"] = args.snapshot_every
     if getattr(args, "onchip_epoch", False):
         train_kw["onchip_epoch"] = True
     if getattr(args, "progress", False):
