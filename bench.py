@@ -67,7 +67,8 @@ def bench_shapes(tiny: bool):
 
 def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
                    cached_teacher: bool = False, tiny: bool = False,
-                   scatter_impl: str = None, kd_overrides: dict = None):
+                   scatter_impl: str = None, kd_overrides: dict = None,
+                   use_pallas_loss: bool = False):
     """Returns (run, state, n_iters, (student, s_vars)) where run(state)
     executes n_iters chained KD train steps in one lax.scan dispatch.
 
@@ -154,8 +155,12 @@ def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
     # Measured on v5e: the XLA loss path edges out the Pallas-fused one
     # end-to-end (775 vs 742 frames/s) — XLA fuses the feature-MSE into the
     # surrounding program well. Bench uses the faster path; the kernels stay
-    # available behind KDConfig.use_pallas.
+    # available behind KDConfig.use_pallas (use_pallas_loss=True here is
+    # the measurement hook, scripts/profile_kd_tail.py).
     loss_impl = kd_total_loss
+    if use_pallas_loss:
+        from lmsu_tpu.ops.kd_loss_pallas import kd_total_loss_fused
+        loss_impl = kd_total_loss_fused
 
     def kd_step(state, images, points, labels, t_cached=None):
         def loss_fn(p):

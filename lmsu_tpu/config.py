@@ -145,7 +145,13 @@ class DataConfig:
     """Dataset + host input pipeline (reference: pandaset_dataset.py:48-157)."""
 
     root: str = "data/pandaset"
-    dataset: str = "synthetic"  # "pandaset" | "synthetic"
+    dataset: str = "synthetic"  # "pandaset" | "synthetic" | "packed"
+    #   "packed": pre-decoded memmapped arrays written once by
+    #   scripts/prepare_dataset.py (data/packed.py); `root` is the pack
+    #   directory (with train/ and val/ subpacks). Decode cost at train
+    #   time is ~zero — the PandaSet-scale feeding path for hosts whose
+    #   JPEG decode cannot keep up with the device step (BASELINE.md
+    #   input-pipeline table).
     # (H, W) everywhere in this framework. NOTE: the reference passes its
     # image_size tuple straight to PIL.resize, i.e. interprets it as (W, H)
     # (pandaset_dataset.py:110) — identical at the default square 256x256,
@@ -173,6 +179,13 @@ class DataConfig:
     # validity mask and land at the grid centre. Kept for parity, off by default
     # here because padded points are tagged invalid in the TPU pipeline.
     pad_points_are_valid: bool = False
+    # PandaSet decoded-sample RAM cache (~0.3 MB/sample; ~0.6 GB at the
+    # reference's 1,920-frame scale): epoch 1 decodes once, epoch 2+ reads
+    # host RAM — the chip stops stalling on JPEG decode after the first
+    # epoch. Sound because per-sample decode is deterministic (see
+    # data/pandaset.py). For zero stall from epoch 1, pre-decode with
+    # scripts/prepare_dataset.py and use dataset="packed" instead.
+    decoded_cache: bool = False
 
 
 @dataclass(frozen=True)

@@ -1,5 +1,7 @@
-"""Datasets (PandaSet, synthetic) and the host input pipeline."""
+"""Datasets (PandaSet, synthetic, packed) and the host input pipeline."""
 
+from lmsu_tpu.data.packed import (PackedDataset, create_packed_datasets,
+                                  write_pack)
 from lmsu_tpu.data.pandaset import (PandaSetDataset, create_pandaset_datasets,
                                     list_scenes, split_scenes)
 from lmsu_tpu.data.pipeline import Batcher, PrefetchLoader, make_loader
@@ -16,6 +18,8 @@ def create_datasets(config, verbose: bool = False):
         return create_pandaset_datasets(config, verbose=verbose)
     if config.dataset == "synthetic":
         return create_synthetic_datasets(config)
+    if config.dataset == "packed":
+        return create_packed_datasets(config)
     raise ValueError(f"Unknown dataset: {config.dataset}")
 
 
@@ -24,5 +28,6 @@ __all__ = [
     "split_scenes", "Batcher", "PrefetchLoader", "make_loader",
     "rasterize_bev", "remap_semantic", "DRIVABLE_RAW_IDS",
     "SyntheticMultiModalDataset", "create_synthetic_datasets",
+    "PackedDataset", "create_packed_datasets", "write_pack",
     "create_datasets",
 ]

@@ -67,12 +67,20 @@ class AsyncCheckpointer:
     Writes are FIFO, so `latest.ckpt` always ends up at the newest epoch.
 
     Worker errors are sticky: they re-raise on the next `save()`/`wait()`.
-    Call `wait()` before reading checkpoints back or ending the run.
+    Call `wait()` before reading checkpoints back or ending the run, and
+    `close()` when done with the checkpointer (Trainer.flush_checkpoints
+    does both).
+
+    The queue is bounded (maxsize=2): each pending save holds a full
+    on-device copy of the train state, so an unbounded queue would let a
+    slow disk accumulate snapshots in HBM until OOM; with backpressure,
+    `save()` blocks once two snapshots are in flight.
     """
 
     def __init__(self) -> None:
-        self._q: "queue.Queue" = queue.Queue()
+        self._q: "queue.Queue" = queue.Queue(maxsize=2)
         self._error: Optional[BaseException] = None
+        self._closed = False
         self._thread = threading.Thread(target=self._worker, daemon=True,
                                         name="lmsu-ckpt-writer")
         self._thread.start()
@@ -89,6 +97,8 @@ class AsyncCheckpointer:
              val_miou: float, is_best: bool = False,
              snapshot: Optional[str] = None) -> None:
         self._raise_pending()
+        if self._closed:
+            raise RuntimeError("AsyncCheckpointer is closed")
         snap = jax.tree_util.tree_map(self._snapshot_leaf, state_dict)
         self._q.put((save_dir, snap, int(epoch), float(val_miou),
                      bool(is_best), snapshot))
@@ -96,6 +106,16 @@ class AsyncCheckpointer:
     def wait(self) -> None:
         """Block until every enqueued checkpoint is durably on disk."""
         self._q.join()
+        self._raise_pending()
+
+    def close(self) -> None:
+        """Drain pending writes, stop the worker thread, surface any sticky
+        error. Idempotent; a closed checkpointer rejects further save()s."""
+        if not self._closed:
+            self._closed = True
+            if self._thread.is_alive():
+                self._q.put(None)  # shutdown sentinel
+                self._thread.join()
         self._raise_pending()
 
     def _raise_pending(self) -> None:
@@ -107,6 +127,8 @@ class AsyncCheckpointer:
         while True:
             item = self._q.get()
             try:
+                if item is None:
+                    return
                 save_dir, snap, epoch, val_miou, is_best, snapshot = item
                 save_checkpoint(save_dir, jax.device_get(snap), epoch,
                                 val_miou, is_best, snapshot=snapshot)

@@ -432,18 +432,21 @@ class Trainer:
             self._onchip_n = host["sample_mask"].shape[0]
             self._onchip_data = shard_batch(host, self.mesh)
         n_batches = self._onchip_n // B
+        # Extra scan-invariant device args the step needs (the KD trainer
+        # threads its HBM teacher cache through here; () for plain steps).
+        extra = self._onchip_extra_args()
 
         if self._epoch_scan is None:
             rep = replicated_sharding(self.mesh)
             dsh = data_sharding(self.mesh)
             step = self._onchip_step
 
-            def epoch_scan(state, data, perm):
+            def epoch_scan(state, data, perm, *extra):
                 def body(st, i):
                     idx = jax.lax.dynamic_slice_in_dim(perm, i * B, B)
                     batch = jax.tree_util.tree_map(
                         lambda a: jnp.take(a, idx, axis=0), data)
-                    outs = step(st, batch)
+                    outs = step(st, batch, *extra)
                     st, loss, cm = outs[:3]
                     # KD steps return a 4th element (loss parts dict);
                     # thread it through so diagnostics stay live on-chip.
@@ -454,10 +457,11 @@ class Trainer:
                 last_parts = jax.tree_util.tree_map(lambda x: x[-1], parts)
                 return state, losses, jnp.sum(cms, axis=0), last_parts
 
-            self._epoch_scan = jax.jit(epoch_scan,
-                                       in_shardings=(rep, dsh, rep),
-                                       out_shardings=(rep, rep, rep, rep),
-                                       donate_argnums=0)
+            self._epoch_scan = jax.jit(
+                epoch_scan,
+                in_shardings=(rep, dsh, rep) + (rep,) * len(extra),
+                out_shardings=(rep, rep, rep, rep),
+                donate_argnums=0)
 
         batcher = getattr(self.train_loader, "batcher", None)
         shuffle = getattr(batcher, "shuffle", True)
@@ -472,14 +476,19 @@ class Trainer:
             perm = rng.permutation(self._onchip_n).astype(np.int32)
         else:
             perm = np.arange(self._onchip_n, dtype=np.int32)
-        self.state, losses, cm, parts = self._epoch_scan(self.state,
-                                                         self._onchip_data,
-                                                         jnp.asarray(perm))
+        self.state, losses, cm, parts = self._epoch_scan(
+            self.state, self._onchip_data, jnp.asarray(perm), *extra)
         if parts:  # KD step: keep last_loss_parts live (distill.py)
             self.last_loss_parts = parts
         self.last_host_stall_frac = 0.0
         return float(jnp.mean(losses)), iou_from_confusion(
             np.asarray(cm, np.int64))
+
+    def _onchip_extra_args(self) -> Tuple:
+        """Scan-invariant device arrays passed to the on-chip epoch step
+        after the batch (overridden by the KD trainer to thread its
+        HBM-resident teacher cache through the epoch scan)."""
+        return ()
 
     def train_epoch(self) -> Tuple[float, Dict]:
         if self.config.train.onchip_epoch:
@@ -510,9 +519,13 @@ class Trainer:
                                  val_miou, is_best, snapshot=snapshot)
 
     def flush_checkpoints(self) -> None:
-        """Block until async checkpoint writes (if any) are on disk."""
+        """Block until async checkpoint writes (if any) are on disk, and
+        release the writer thread (a later save_checkpoint lazily spawns a
+        fresh one) — multi-trainer processes (ablation sweeps, test suites)
+        must not leak one live daemon thread per trainer."""
         if getattr(self, "_async_ckpt", None) is not None:
-            self._async_ckpt.wait()
+            ac, self._async_ckpt = self._async_ckpt, None
+            ac.close()
 
     def load_checkpoint(self, path: str) -> int:
         self.flush_checkpoints()
@@ -550,45 +563,60 @@ class Trainer:
         old_sigterm = None
         if tc.handle_sigterm:
             import signal
-            old_sigterm = signal.signal(
-                signal.SIGTERM, lambda *_: self.request_preempt())
+            import threading
+            # signal.signal raises ValueError off the main thread — the
+            # scheduler/notebook worker-thread case request_preempt()
+            # exists for. Fall back to the explicit API there.
+            if threading.current_thread() is threading.main_thread():
+                old_sigterm = signal.signal(
+                    signal.SIGTERM, lambda *_: self.request_preempt())
+            else:
+                import warnings
+                warnings.warn(
+                    "handle_sigterm: not on the main thread, cannot install "
+                    "a SIGTERM handler; call request_preempt() instead.")
         log(f"\nStarting training from epoch {start_epoch + 1}/{tc.num_epochs}")
-        for epoch in range(start_epoch, tc.num_epochs):
-            self._epoch_index = epoch
-            if hasattr(self.train_loader, "set_epoch"):
-                self.train_loader.set_epoch(epoch)
-            t0 = time.perf_counter()
-            train_loss, train_metrics = self.train_epoch()
-            val_loss, val_metrics = self.validate()
-            dt = time.perf_counter() - t0
-            # LR the *next* epoch will use mirrors torch's post-step read
-            # (trainer.py:166-167: scheduler.step() then read param_groups).
-            current_lr = lr_at_epoch(tc.lr, tc.eta_min, tc.num_epochs,
-                                     epoch + 1)
-            train_miou = train_metrics["miou"]
-            val_miou = val_metrics["miou"]
-            log(f"Epoch {epoch + 1}/{tc.num_epochs} [{dt:.1f}s, input stall "
-                f"{self.last_host_stall_frac * 100:.0f}%] "
-                f"train loss {train_loss:.4f} mIoU {train_miou:.4f} | "
-                f"val loss {val_loss:.4f} mIoU {val_miou:.4f} | "
-                f"class IoU {['%.4f' % v for v in val_metrics['class_iou']]}")
-            self.history.append(train_loss, train_miou, val_loss, val_miou,
-                                current_lr)
-            is_best = val_miou > self.best_miou
-            if is_best:
-                self.best_miou = val_miou
-                log(f"  New best mIoU: {val_miou:.4f}")
-            snap = (f"epoch_{epoch + 1:03d}.ckpt"
-                    if tc.snapshot_every
-                    and (epoch + 1) % tc.snapshot_every == 0 else None)
-            self.save_checkpoint(epoch, val_miou, is_best=is_best,
-                                 snapshot=snap)
-            if self._preempt_requested:
-                break
-        if old_sigterm is not None:
-            import signal
-            signal.signal(signal.SIGTERM, old_sigterm)
-        self.flush_checkpoints()
+        try:
+            for epoch in range(start_epoch, tc.num_epochs):
+                self._epoch_index = epoch
+                if hasattr(self.train_loader, "set_epoch"):
+                    self.train_loader.set_epoch(epoch)
+                t0 = time.perf_counter()
+                train_loss, train_metrics = self.train_epoch()
+                val_loss, val_metrics = self.validate()
+                dt = time.perf_counter() - t0
+                # LR the *next* epoch will use mirrors torch's post-step read
+                # (trainer.py:166-167: scheduler.step() then read param_groups).
+                current_lr = lr_at_epoch(tc.lr, tc.eta_min, tc.num_epochs,
+                                         epoch + 1)
+                train_miou = train_metrics["miou"]
+                val_miou = val_metrics["miou"]
+                log(f"Epoch {epoch + 1}/{tc.num_epochs} [{dt:.1f}s, input stall "
+                    f"{self.last_host_stall_frac * 100:.0f}%] "
+                    f"train loss {train_loss:.4f} mIoU {train_miou:.4f} | "
+                    f"val loss {val_loss:.4f} mIoU {val_miou:.4f} | "
+                    f"class IoU {['%.4f' % v for v in val_metrics['class_iou']]}")
+                self.history.append(train_loss, train_miou, val_loss, val_miou,
+                                    current_lr)
+                is_best = val_miou > self.best_miou
+                if is_best:
+                    self.best_miou = val_miou
+                    log(f"  New best mIoU: {val_miou:.4f}")
+                snap = (f"epoch_{epoch + 1:03d}.ckpt"
+                        if tc.snapshot_every
+                        and (epoch + 1) % tc.snapshot_every == 0 else None)
+                self.save_checkpoint(epoch, val_miou, is_best=is_best,
+                                     snapshot=snap)
+                if self._preempt_requested:
+                    break
+        finally:
+            # Always restore the handler and drain pending async writes —
+            # an exception mid-epoch must not leak a SIGTERM handler bound
+            # to this (now dead) run, nor abandon queued checkpoints.
+            if old_sigterm is not None:
+                import signal
+                signal.signal(signal.SIGTERM, old_sigterm)
+            self.flush_checkpoints()
         if self._preempt_requested:
             log(f"Preempted — stopped after epoch {self._epoch_index + 1}; "
                 f"resume from {self.save_dir}/latest.ckpt")

@@ -44,14 +44,16 @@ def make_frame_pool(rng, n_frames, img_hw, n_pts):
 
 def run_load(engine, frames, concurrency, duration_s):
     """Closed-loop: each of C threads submits frame -> waits -> repeats.
-    Returns (latencies_s, completed, wall_s)."""
+    Returns (latencies_s, completed, wall_s, completion_times_s) —
+    completion times are relative to load start (soak drift analysis)."""
     stop = threading.Event()
     lock = threading.Lock()
-    all_lats = []
+    all_recs = []
     errors = []
+    t_start = time.monotonic()
 
     def client(tid):
-        lats = []
+        recs = []
         i = tid  # offset so concurrent batches mix different frames
         try:
             while not stop.is_set():
@@ -59,17 +61,17 @@ def run_load(engine, frames, concurrency, duration_s):
                 i += concurrency
                 t0 = time.monotonic()
                 engine.predict(img, pts, pv, timeout=600)
-                lats.append(time.monotonic() - t0)
+                t1 = time.monotonic()
+                recs.append((t1 - t0, t1 - t_start))
         except Exception as e:  # surface backend failures, keep data
             with lock:
                 errors.append(e)
         finally:
             with lock:
-                all_lats.extend(lats)
+                all_recs.extend(recs)
 
     threads = [threading.Thread(target=client, args=(t,), daemon=True)
                for t in range(concurrency)]
-    t_start = time.monotonic()
     for t in threads:
         t.start()
     time.sleep(duration_s)
@@ -81,17 +83,24 @@ def run_load(engine, frames, concurrency, duration_s):
         raise RuntimeError(
             f"{len(errors)} client thread(s) failed during the load run "
             f"(first: {errors[0]!r}) — results would be corrupted")
-    return all_lats, len(all_lats), wall
+    lats = [r[0] for r in all_recs]
+    times = [r[1] for r in all_recs]
+    return lats, len(lats), wall, times
 
 
 def percentiles(lats):
     import numpy as np
     if not lats:
-        return {"p50": None, "p95": None, "p99": None}
+        return {"p50": None, "p95": None, "p99": None, "p999": None}
     a = np.sort(np.asarray(lats)) * 1e3
-    return {"p50": round(float(np.percentile(a, 50)), 3),
-            "p95": round(float(np.percentile(a, 95)), 3),
-            "p99": round(float(np.percentile(a, 99)), 3)}
+    out = {"p50": round(float(np.percentile(a, 50)), 3),
+           "p95": round(float(np.percentile(a, 95)), 3),
+           "p99": round(float(np.percentile(a, 99)), 3),
+           # p999 only meaningful with >=1000 samples; else report max
+           "p999": round(float(np.percentile(a, 99.9)), 3)
+           if len(a) >= 1000 else None}
+    out["max"] = round(float(a[-1]), 3)
+    return out
 
 
 def build_engine(args, batch_size, batch_sizes=None):
@@ -169,6 +178,11 @@ def main(argv=None) -> None:
     ap.add_argument("--baseline-b1", action="store_true",
                     help="also measure a no-batching B=1 engine at C=1 "
                     "(extra executable compile)")
+    ap.add_argument("--soak", type=float, default=None,
+                    help="after the concurrency ladder, run a steady-state "
+                    "soak of this many seconds (>=60 recommended) and "
+                    "report p50/p95/p99/p999 + split-half throughput drift")
+    ap.add_argument("--soak-concurrency", type=int, default=32)
     ap.add_argument("--out", default=None, help="also write the JSON here")
     args = ap.parse_args(argv)
 
@@ -187,7 +201,8 @@ def main(argv=None) -> None:
 
     levels = []
     for c in args.concurrency:
-        lats, completed, wall = run_load(engine, frames, c, args.duration)
+        lats, completed, wall, _ = run_load(engine, frames, c,
+                                            args.duration)
         st = engine.stats()
         row = {"concurrency": c, "completed": completed,
                "throughput_rps": round(completed / wall, 2),
@@ -198,13 +213,42 @@ def main(argv=None) -> None:
         print(f"C={c:4d}: {row['throughput_rps']:9.1f} req/s   "
               f"p50 {row['latency_ms']['p50']} ms   "
               f"p99 {row['latency_ms']['p99']} ms", flush=True)
+
+    soak = None
+    if args.soak:
+        # Long steady-state run: tail latency (p99/p999) only means
+        # anything over thousands of requests, and split-half drift
+        # catches slow degradation (queue growth, GC, thermal) that a 10 s
+        # level cannot see.
+        c = args.soak_concurrency
+        print(f"soak: C={c} for {args.soak:.0f}s ...", flush=True)
+        lats, completed, wall, times = run_load(engine, frames, c, args.soak)
+        half = wall / 2
+        first = [l for l, t in zip(lats, times) if t < half]
+        second = [l for l, t in zip(lats, times) if t >= half]
+        soak = {
+            "concurrency": c, "duration_s": round(wall, 1),
+            "completed": completed,
+            "throughput_rps": round(completed / wall, 2),
+            "latency_ms": percentiles(lats),
+            "first_half": {"throughput_rps": round(len(first) / half, 2),
+                           "latency_ms": percentiles(first)},
+            "second_half": {"throughput_rps": round(len(second) / half, 2),
+                            "latency_ms": percentiles(second)},
+        }
+        print(f"soak: {soak['throughput_rps']} req/s   "
+              f"p50 {soak['latency_ms']['p50']} ms   "
+              f"p99 {soak['latency_ms']['p99']} ms   "
+              f"p999 {soak['latency_ms']['p999']} ms   "
+              f"halves {soak['first_half']['throughput_rps']} -> "
+              f"{soak['second_half']['throughput_rps']} req/s", flush=True)
     engine.close()
 
     baseline = None
     if args.baseline_b1:
         eng1, *_ = build_engine(args, 1)
         eng1.warmup()
-        lats, completed, wall = run_load(eng1, frames, 1, args.duration)
+        lats, completed, wall, _ = run_load(eng1, frames, 1, args.duration)
         eng1.close()
         baseline = {"throughput_rps": round(completed / wall, 2),
                     "latency_ms": percentiles(lats)}
@@ -222,7 +266,8 @@ def main(argv=None) -> None:
                    "scatter_impl": scatter,
                    "backend": "tpu" if on_tpu else "cpu",
                    "tiny": args.tiny,
-                   "levels": levels, "baseline_b1": baseline},
+                   "levels": levels, "soak": soak,
+                   "baseline_b1": baseline},
     }
     line = json.dumps(result)
     print(line)

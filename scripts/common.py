@@ -33,7 +33,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data-root", default=None,
                    help="PandaSet root (scene dirs); default per config")
     p.add_argument("--dataset", default=None,
-                   choices=["pandaset", "synthetic"])
+                   choices=["pandaset", "synthetic", "packed"],
+                   help="'packed' trains from pre-decoded memmap packs "
+                   "(scripts/prepare_dataset.py); --data-root is the pack "
+                   "directory")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--epochs", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
@@ -56,6 +59,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--progress", action="store_true",
                    help="per-step tqdm progress bars (reference "
                    "trainer.py:81 analog)")
+    p.add_argument("--decoded-cache", action="store_true",
+                   help="cache decoded PandaSet samples in host RAM "
+                   "(~0.3 MB/sample): epoch 2+ pays no JPEG/pickle decode "
+                   "(DataConfig.decoded_cache)")
     p.add_argument("--num-workers", type=int, default=None,
                    help="parallel per-sample decode threads in the input "
                    "pipeline (reference DataLoader num_workers analog); "
@@ -164,6 +171,8 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         data_kw["synthetic_difficulty"] = args.difficulty
     if getattr(args, "num_workers", None) is not None:
         data_kw["num_workers"] = args.num_workers
+    if getattr(args, "decoded_cache", False):
+        data_kw["decoded_cache"] = True
     if args.epochs is not None:
         train_kw["num_epochs"] = args.epochs
     if args.lr is not None:

@@ -46,19 +46,20 @@ def main():
     print(f"backend={jax.default_backend()} B={args.batch}", file=sys.stderr)
 
     variants = [
-        ("full", None),
-        ("no_fm", {"feature_taps": ()}),
-        ("ce_only", {"feature_taps": (), "alpha_kl": 0.0}),
+        ("full", None, False),
+        ("full_pallas_fm", None, True),  # fused Pallas feature-MSE kernel
+        ("no_fm", {"feature_taps": ()}, False),
+        ("ce_only", {"feature_taps": (), "alpha_kl": 0.0}, False),
     ]
     results = {}
-    for name, overrides in variants:
+    for name, overrides, pallas_loss in variants:
         # Off-TPU: tiny shapes (the full-size frozen teacher stalls XLA:CPU
         # constant folding for tens of minutes — see build_kd_bench) so the
         # script stays smoke-testable; numbers are only meaningful on TPU.
         run, state, n_iters, _ = build_kd_bench(
             args.batch, dtype, cached_teacher=True, tiny=not on_tpu,
             scatter_impl="sorted_pallas" if on_tpu else None,
-            kd_overrides=overrides)
+            kd_overrides=overrides, use_pallas_loss=pallas_loss)
         t0 = time.perf_counter()
         state, cm, losses = run(state)
         jax.block_until_ready(losses)
@@ -75,6 +76,8 @@ def main():
         "batch": args.batch, "dtype": str(dtype.__name__),
         "step_ms": results,
         "feature_match_ms": round(results["full"] - results["no_fm"], 3),
+        "feature_match_pallas_ms": round(
+            results["full_pallas_fm"] - results["no_fm"], 3),
         "logit_kl_ms": round(results["no_fm"] - results["ce_only"], 3),
     }
     with open(args.out, "w") as f:

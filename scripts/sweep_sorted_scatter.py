@@ -35,9 +35,12 @@ def main():
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--out", default="/tmp/sorted_scatter_sweep.json")
     ap.add_argument("--variants", default="256:0,256:1,128:1,64:1",
-                    help="comma list of CW:EARLY[:FLAT] (EARLY/FLAT 0/1; "
-                    "FLAT = flat-chunk-table forward, defaults to the "
-                    "module's _FWD_FLAT)")
+                    help="comma list of CW:EARLY[:FLAT[:TILE]] (EARLY/FLAT "
+                    "0/1; FLAT = flat-chunk-table forward; TILE = output "
+                    "cells per tile/one-hot width, default 128 — larger "
+                    "tiles amortize the per-tile chunk loop: at TILE=512 "
+                    "the 64x64 grid needs 8 tile iterations instead of 32 "
+                    "and ~half the ceil-rounded chunk invocations)")
     args = ap.parse_args()
 
     import jax
@@ -72,16 +75,20 @@ def main():
         jax.block_until_ready(j(carry0))
         return (time.perf_counter() - t0) / n * 1e3, compile_s
 
+    defaults = (mod._FWD_FLAT, mod._TILE)
     results = []
     for spec in args.variants.split(","):
         parts = spec.split(":")
         cw_s, early_s = parts[0], parts[1]
         mod._CW_FWD = int(cw_s)
         mod._SCAN_EARLY_EXIT = bool(int(early_s))
+        mod._FWD_FLAT, mod._TILE = defaults  # unset fields revert
         if len(parts) > 2:
             mod._FWD_FLAT = bool(int(parts[2]))
+        if len(parts) > 3:
+            mod._TILE = int(parts[3])
         tag = (f"cw{cw_s}_early{early_s}"
-               f"_flat{int(mod._FWD_FLAT)}")
+               f"_flat{int(mod._FWD_FLAT)}_tile{mod._TILE}")
 
         # bitwise correctness on-chip for this variant
         got = jax.jit(lambda f: mod.bev_scatter_max_sorted_pallas(
@@ -112,7 +119,8 @@ def main():
         print(f"{tag}: fwd {fwd_ms:.3f} ms  fwd+bwd {fb_ms:.3f} ms  "
               f"(compiles {c1:.0f}s/{c2:.0f}s)", file=sys.stderr)
         results.append({"variant": tag, "cw_fwd": int(cw_s),
-                        "early_exit": bool(int(early_s)), "correct": True,
+                        "early_exit": bool(int(early_s)),
+                        "tile": mod._TILE, "correct": True,
                         "fwd_ms": round(fwd_ms, 3),
                         "fwdbwd_ms": round(fb_ms, 3)})
 

@@ -42,6 +42,12 @@ def build_configs(args):
         kd = dataclasses.replace(
             kd, cache_hbm_limit_bytes=int(args.cache_hbm_gb * (1 << 30)))
     if args.teacher_partition is not None:
+        if (args.teacher_partition in ("tp", "sp")
+                and (getattr(args, "model_parallel", None) or 1) <= 1):
+            raise SystemExit(
+                f"--teacher-partition {args.teacher_partition} needs "
+                f"--model-parallel > 1 (it shards over the 'model' mesh "
+                f"axis); use 'fsdp' to shard over the data axis instead.")
         kd = dataclasses.replace(kd, teacher_partition=args.teacher_partition)
     if args.cache_dtype is not None:
         kd = dataclasses.replace(kd, cache_dtype=args.cache_dtype)

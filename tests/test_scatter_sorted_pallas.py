@@ -231,6 +231,31 @@ class TestChunkWidthAndScanVariants:
             mod.bev_scatter_max_sorted_pallas(f, idx, valid, HW) ** 2))(feats)
         np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
 
+    @pytest.mark.parametrize("tile", [128, 256, 512])
+    def test_tile_width_equivalent(self, rng, monkeypatch, tile):
+        """_TILE (output cells per tile = one-hot width) is the round-4
+        perf knob: larger tiles amortize the per-tile chunk loop. Every
+        width must be exactly equivalent, incl. hw not a multiple of the
+        tile (last-tile row clamp) and cross-chunk segments."""
+        import lmsu_tpu.ops.scatter_sorted_pallas as mod
+        monkeypatch.setattr(mod, "_TILE", tile)
+        feats, idx, valid, HW = _sorted_data(rng, B=2, N=700, C=8,
+                                             HW=(20, 20))  # hw=400
+        idx = idx.at[0, 100:300].set(idx[0, 100])  # giant run
+        key = jnp.where(valid, idx, HW[0] * HW[1])
+        order = jnp.argsort(key, axis=-1, stable=True)
+        idx = jnp.take_along_axis(idx, order, axis=1)
+        valid = jnp.take_along_axis(valid, order, axis=1)
+        feats = jnp.take_along_axis(feats, order[..., None], axis=1)
+        a = bev_scatter_max(feats, idx, valid, HW)
+        b = mod.bev_scatter_max_sorted_pallas(feats, idx, valid, HW)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        ga = jax.grad(lambda f: jnp.sum(
+            bev_scatter_max(f, idx, valid, HW) ** 2))(feats)
+        gb = jax.grad(lambda f: jnp.sum(
+            mod.bev_scatter_max_sorted_pallas(f, idx, valid, HW) ** 2))(feats)
+        np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), atol=1e-6)
+
 
 class TestSortedPallasOnMesh:
     def _mesh(self):
