@@ -49,7 +49,10 @@ def _feature_mse_kernel(s_ref, t_ref, p_ref, out_ref, acc_ref):
     """Grid (B, m_tiles): per-sample sum((S - T @ P)^2), one scalar per b.
 
     The tile index is minor (iterates fastest), so the SMEM accumulator
-    resets at each sample's first tile and flushes at its last."""
+    resets at each sample's first tile and flushes at its last. The flush
+    broadcasts the scalar over a full (8, 128) VMEM tile — Mosaic requires
+    output blocks to be tile-shaped (a (1, 1) SMEM output block fails to
+    lower on real TPU; only the caller's [b, 0, 0] element is read)."""
     i = pl.program_id(1)
 
     @pl.when(i == 0)
@@ -62,7 +65,7 @@ def _feature_mse_kernel(s_ref, t_ref, p_ref, out_ref, acc_ref):
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _():
-        out_ref[0, 0] = acc_ref[0, 0]
+        out_ref[...] = jnp.full(out_ref.shape, acc_ref[0, 0], jnp.float32)
 
 
 def _pad_rows3(x: jnp.ndarray, tile: int) -> jnp.ndarray:
@@ -83,7 +86,7 @@ def _mse_partials(s3: jnp.ndarray, t3: jnp.ndarray,
     n_tiles = s3.shape[1] // _TILE_M
 
     interpret = jax.default_backend() == "cpu"
-    return pl.pallas_call(
+    out = pl.pallas_call(
         _feature_mse_kernel,
         grid=(B, n_tiles),
         in_specs=[
@@ -94,12 +97,15 @@ def _mse_partials(s3: jnp.ndarray, t3: jnp.ndarray,
             pl.BlockSpec((ct, cs), lambda b, i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1), lambda b, i: (b, 0),
-                               memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        # Tile-shaped VMEM output block (see kernel docstring); the
+        # scalar partial lives at [b, 0, 0].
+        out_specs=pl.BlockSpec((None, 8, 128), lambda b, i: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, 8, 128), jnp.float32),
         scratch_shapes=[pltpu.SMEM((1, 1), jnp.float32)],
         interpret=interpret,
     )(s3, t3, projection.astype(jnp.float32))
+    return out[:, 0, :1]
 
 
 def _mse_infer(mesh, shapes, result_shape):
