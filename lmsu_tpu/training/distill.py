@@ -241,11 +241,19 @@ class DistillationTrainer(Trainer):
         ignore_index = self.config.train.ignore_index
         metrics_classes = self.config.train.metrics_num_classes
 
-        def kd_loss_fn(params, batch_stats, batch):
+        # The teacher variables are passed as explicit jit ARGUMENTS (with
+        # their actual shardings), never closed over: closing over a
+        # global sharded array is illegal under process_count() > 1
+        # ("jax.Array that spans non-addressable devices"), found by the
+        # real 4-process fsdp run (tests/test_multiprocess.py).
+        tsh = jax.tree_util.tree_map(lambda x: x.sharding,
+                                     self.teacher_variables)
+
+        def kd_loss_fn(params, batch_stats, batch, tvars):
             kwargs = {}
             if "point_valid" in batch:
                 kwargs["point_valid"] = batch["point_valid"]
-            t_logits, t_feats = self._teacher_apply(batch)
+            t_logits, t_feats = self._teacher_apply(tvars, batch)
             t_logits = jax.lax.stop_gradient(t_logits)
             t_feats = jax.lax.stop_gradient(t_feats)
             (s_logits, s_feats), mut = self.model.apply(
@@ -268,13 +276,13 @@ class DistillationTrainer(Trainer):
                                   metrics_classes, ignore_index)
             return loss, (mut["batch_stats"], cm, parts)
 
-        def train_step(state: TrainState, batch):
+        def train_step(state: TrainState, batch, tvars):
             # In-loop teacher: teacher and student both consume the
             # augmented batch (kd_loss_fn runs the teacher on `batch`).
             batch = self._augmented(state, batch)
             (loss, (new_stats, cm, parts)), grads = jax.value_and_grad(
                 kd_loss_fn, has_aux=True)(state.params, state.batch_stats,
-                                          batch)
+                                          batch, tvars)
             updates, opt_state = self.tx.update(grads, state.opt_state,
                                                 state.params)
             params = optax.apply_updates(state.params, updates)
@@ -291,7 +299,8 @@ class DistillationTrainer(Trainer):
                 train=False)
             return loss, cm
 
-        self.train_step_kd = jax.jit(train_step, in_shardings=(rep, dsh),
+        self.train_step_kd = jax.jit(train_step,
+                                     in_shardings=(rep, dsh, tsh),
                                      out_shardings=(rep, rep, rep, rep),
                                      donate_argnums=0)
         self.eval_step = jax.jit(eval_step, in_shardings=(rep, dsh),
@@ -303,8 +312,8 @@ class DistillationTrainer(Trainer):
         self.teacher_cache = None        # HBM-resident (small datasets)
         self.teacher_cache_host = None   # host-RAM spill (large datasets)
 
-        def fill_cache(cache, batch):
-            t_logits, t_feats = self._teacher_apply(batch)
+        def fill_cache(cache, batch, tvars):
+            t_logits, t_feats = self._teacher_apply(tvars, batch)
             idx = batch["sample_index"]
             cache = dict(cache)
             cache["logits"] = cache["logits"].at[idx].set(
@@ -373,8 +382,8 @@ class DistillationTrainer(Trainer):
                                     {tap: t_batch[tap]
                                      for tap in kd.feature_taps})
 
-        def teacher_forward(batch):
-            t_logits, t_feats = self._teacher_apply(batch)
+        def teacher_forward(batch, tvars):
+            t_logits, t_feats = self._teacher_apply(tvars, batch)
             dt = self._tap_dtype()
             out = {"logits": t_logits.astype(dt),
                    "sample_index": batch["sample_index"]}
@@ -382,13 +391,14 @@ class DistillationTrainer(Trainer):
                 out[tap] = t_feats[tap].astype(dt)
             return out
 
-        self.fill_cache_step = jax.jit(fill_cache, donate_argnums=0)
+        self.fill_cache_step = jax.jit(fill_cache, donate_argnums=0,
+                                       in_shardings=(None, dsh, tsh))
         # Replicated outputs: the forward itself is batch-sharded across all
         # devices, but every host gets the full result back, so each process
         # can fill its complete host-RAM cache (multi-host: later epochs
         # reshuffle stripes, so every host needs every row).
         self.teacher_forward = jax.jit(teacher_forward,
-                                       in_shardings=(dsh,),
+                                       in_shardings=(dsh, tsh),
                                        out_shardings=rep)
         self.train_step_kd_cached = jax.jit(train_step_cached,
                                             donate_argnums=0)
@@ -413,7 +423,7 @@ class DistillationTrainer(Trainer):
                            out_shardings=(rep, rep, rep, rep),
                            donate_argnums=0)
 
-        self.train_scan_kd = _scan_over(train_step)
+        self.train_scan_kd = _scan_over(train_step, (tsh,))
         self.train_scan_kd_cached = _scan_over(train_step_cached, (rep,))
         # On-chip whole-epoch loop: cached-teacher step when the cache is
         # on (the headline configuration — the cache rides the scan as an
@@ -439,10 +449,13 @@ class DistillationTrainer(Trainer):
             in_shardings=(rep, self._scan_sharding, self._scan_sharding),
             out_shardings=(rep,) * 4, donate_argnums=0)
 
-    def _teacher_apply(self, batch):
-        """Frozen-teacher forward with intermediates. Applies the
-        spatial-partitioning sharding constraint on the input image when
-        KDConfig.teacher_partition == 'sp' on a 2-D mesh."""
+    def _teacher_apply(self, tvars, batch):
+        """Frozen-teacher forward with intermediates. `tvars` must be the
+        teacher variables passed as a jit argument (closing over the
+        sharded self.teacher_variables breaks under multi-process — see
+        _build_steps). Applies the spatial-partitioning sharding
+        constraint on the input image when KDConfig.teacher_partition ==
+        'sp' on a 2-D mesh."""
         kwargs = {}
         if "point_valid" in batch:
             kwargs["point_valid"] = batch["point_valid"]
@@ -451,7 +464,7 @@ class DistillationTrainer(Trainer):
             image = jax.lax.with_sharding_constraint(
                 image, self._teacher_sp_sharding)
         return self.teacher.apply(
-            self.teacher_variables, image, batch["points"],
+            tvars, image, batch["points"],
             train=False, return_intermediates=True, **kwargs)
 
     def _tap_dtype(self):
@@ -512,7 +525,8 @@ class DistillationTrainer(Trainer):
             for batch in self.train_loader:
                 filled[np.asarray(batch["sample_index"])] = True
                 batch = shard_batch(batch, self.mesh)
-                cache = self.fill_cache_step(cache, batch)
+                cache = self.fill_cache_step(cache, batch,
+                                             self.teacher_variables)
             # A loader that skips samples (e.g. drop_last) would leave
             # all-zero teacher rows that silently corrupt the KD targets.
             assert filled.all(), "teacher cache fill missed samples"
@@ -526,7 +540,8 @@ class DistillationTrainer(Trainer):
         host = {k: np.zeros((n,) + s, dtype=dt) for k, s in shapes.items()}
         filled = np.zeros((n,), bool)
         for batch in self.train_loader:
-            out = self.teacher_forward(shard_batch(batch, self.mesh))
+            out = self.teacher_forward(shard_batch(batch, self.mesh),
+                                       self.teacher_variables)
             out = jax.device_get(out)  # replicated outputs: full global rows
             idx = out.pop("sample_index")
             for k in host:
@@ -540,9 +555,11 @@ class DistillationTrainer(Trainer):
         scan (VERDICT r3 weak #3: the two fastest paths — cached teacher
         and onchip_epoch — previously could not compose). The per-step
         gather is the same jnp.take-by-sample_index as train_step_cached,
-        so the composed path is bit-equal to the per-batch cached path."""
+        so the composed path is bit-equal to the per-batch cached path.
+        For the in-loop teacher, the extra arg is the teacher variables
+        themselves (jit argument, never a closure — multi-process rule)."""
         if not self.kd.cache_teacher:
-            return ()
+            return (self.teacher_variables,)
         if self.teacher_cache is None and self.teacher_cache_host is None:
             self._build_teacher_cache()
         if self.teacher_cache is None:
@@ -586,8 +603,8 @@ class DistillationTrainer(Trainer):
                 self.last_loss_parts = parts
             elif train:
                 batch = shard_batch(batch, self.mesh)
-                self.state, loss, cm, parts = self.train_step_kd(self.state,
-                                                                 batch)
+                self.state, loss, cm, parts = self.train_step_kd(
+                    self.state, batch, self.teacher_variables)
                 self.last_loss_parts = parts
             else:
                 batch = shard_batch(batch, self.mesh)
@@ -622,7 +639,8 @@ class DistillationTrainer(Trainer):
             else:
                 self.state, losses, cm, parts = self.train_scan_kd(
                     self.state,
-                    shard_scan_chunk(stacked, self.mesh, self._scan_sharding))
+                    shard_scan_chunk(stacked, self.mesh, self._scan_sharding),
+                    self.teacher_variables)
             self.last_loss_parts = parts
             return losses, cm
 
@@ -638,7 +656,8 @@ class DistillationTrainer(Trainer):
                     self.teacher_cache)
             else:
                 self.state, loss, cm, parts = self.train_step_kd(
-                    self.state, shard_batch(batch, self.mesh))
+                    self.state, shard_batch(batch, self.mesh),
+                    self.teacher_variables)
             self.last_loss_parts = parts
             return loss, cm
 

@@ -457,9 +457,15 @@ class Trainer:
                 last_parts = jax.tree_util.tree_map(lambda x: x[-1], parts)
                 return state, losses, jnp.sum(cms, axis=0), last_parts
 
+            # Extras carry their own committed shardings (the teacher
+            # cache is replicated; the in-loop teacher variables may be
+            # tp/fsdp-sharded — never force-replicate them here).
+            extra_sh = tuple(
+                jax.tree_util.tree_map(lambda x: x.sharding, e)
+                for e in extra)
             self._epoch_scan = jax.jit(
                 epoch_scan,
-                in_shardings=(rep, dsh, rep) + (rep,) * len(extra),
+                in_shardings=(rep, dsh, rep) + extra_sh,
                 out_shardings=(rep, rep, rep, rep),
                 donate_argnums=0)
 
