@@ -39,13 +39,12 @@ _TOKENS = "sample_token.json"
 _VERSION = 1
 
 
-def write_pack(dataset, out_dir: str, batch: int = 64,
-               verbose: bool = False) -> None:
+def write_pack(dataset, out_dir: str, verbose: bool = False) -> None:
     """Decode `dataset` (any mapping-style dataset yielding fixed-shape
     sample dicts) and write it as a pack under `out_dir`.
 
-    Streams in chunks of `batch` samples into preallocated memmaps, so
-    packing a dataset larger than RAM works.
+    Samples stream one at a time into preallocated memmaps, so packing a
+    dataset larger than RAM works.
     """
     n = len(dataset)
     if n == 0:

@@ -91,3 +91,37 @@ class TestTrainDistillCLI:
         cfg, tcfg = train_distill.build_configs(args)
         assert cfg.model.camera.width_mult == 1.0
         assert tcfg.camera.width_mult == 2.0
+
+
+class TestFeedingScripts:
+    def test_prepare_dataset_and_dress_rehearsal_tiny(self, tmp_path):
+        """prepare_dataset packs the synthetic fixture; dress_rehearsal
+        --tiny runs the raw/cache/packed feeding comparison end-to-end on
+        fabricated raw-size scenes (CPU, tiny model)."""
+        out = tmp_path / "packs"
+        r = run_script(["scripts/prepare_dataset.py", "--dataset",
+                        "synthetic", "--num-train", "8", "--num-val", "4",
+                        "--image-size", "32", "32", "--grid-size", "8", "8",
+                        "--max-points", "64", "--out", str(out)])
+        assert r.returncode == 0, r.stderr[-800:]
+        assert (out / "train" / "meta.json").exists()
+        assert (out / "val" / "image.npy").exists()
+
+        rj = tmp_path / "dress.json"
+        r = run_script(["scripts/dress_rehearsal.py", "--tiny",
+                        "--frames", "48", "--epochs", "2",
+                        "--batch-size", "8", "--scan-steps", "2",
+                        "--points", "2000", "--out", str(rj)],
+                       timeout=900)
+        assert r.returncode == 0, r.stderr[-800:]
+        doc = json.loads(rj.read_text())
+        assert set(doc["modes"]) == {"raw", "cache", "packed"}
+        for mode, rows in doc["modes"].items():
+            assert len(rows) == 2
+            for row in rows:
+                assert 0.0 <= row["stall_frac"] <= 1.0
+                assert row["wall_s"] > 0
+        # cache/packed must out-stall raw in steady state (epoch 2)
+        raw2 = doc["modes"]["raw"][1]["stall_frac"]
+        assert doc["modes"]["cache"][1]["stall_frac"] <= raw2
+        assert doc["modes"]["packed"][1]["stall_frac"] <= raw2
