@@ -610,6 +610,52 @@ def section_perf(out):
                    f"full step {kt['step_ms']['full']:.2f} ms; feature "
                    f"matching {kt['feature_match_ms']:.2f} ms; logit KL "
                    "~0 ms (fused into the tail).\n")
+    kt4 = load("docs/kd_tail_r4_v5e_b32.json")
+    if kt4:
+        out.append(
+            f"KD-tail closure (round 4, `docs/kd_tail_r4_v5e_b32.json`): "
+            f"loss-term tail {kt4['step_ms']['full'] - kt4['step_ms']['ce_only']:.2f} ms "
+            f"(full {kt4['step_ms']['full']:.2f} vs CE-only "
+            f"{kt4['step_ms']['ce_only']:.2f}); bf16 taps cut XLA feature "
+            f"matching to {kt4['feature_match_ms']:.2f} ms; the fused "
+            f"Pallas FM kernel measures "
+            f"{kt4['step_ms']['full_pallas_fm'] - kt4['step_ms']['full']:+.2f} ms "
+            "vs the XLA path in the benched config — XLA stays default.\n")
+    ts = load("docs/sorted_scatter_tile_sweep_v5e.json")
+    if ts:
+        rows = ", ".join(f"tile {r['tile']}: fwd {r['fwd_ms']:.2f}/"
+                         f"bwd {r['fwdbwd_ms']:.2f} ms"
+                         for r in ts["results"] if r.get("correct"))
+        out.append(
+            f"Sorted-scatter tile-width sweep (round 4, "
+            f"`docs/sorted_scatter_tile_sweep_v5e.json`): {rows} — fwd is "
+            "flat, bwd degrades with tile width; the forward's slack over "
+            "its byte roofline is intrinsic VPU scan issue cost, closing "
+            "the lever (docs/DESIGN.md).\n")
+    dr = load("docs/dress_rehearsal_v5e.json")
+    if dr:
+        out.append(
+            "PandaSet-scale feeding dress rehearsal (round 4, "
+            "`docs/dress_rehearsal_v5e.json` — 1,920+480 fabricated "
+            "frames at real raw sizes, cached-teacher KD on-chip):\n")
+        out.append("| feeding mode | ep1 wall s | ep2 | ep3 | steady input stall |")
+        out.append("|---|---|---|---|---|")
+        for mode, rows in dr["modes"].items():
+            st = max(r["stall_frac"] for r in rows[1:])
+            out.append(f"| {mode} | {rows[0]['wall_s']} | "
+                       f"{rows[1]['wall_s']} | {rows[2]['wall_s']} | "
+                       f"{st:.0%} |")
+        out.append("")
+    oc = load("docs/onchip_cached_v5e.json")
+    if oc:
+        r = oc["results"]
+        out.append(
+            f"Cached-teacher x on-chip epoch (round 4, "
+            f"`docs/onchip_cached_v5e.json`, {oc['num_train']} samples): "
+            f"steady-state epoch {r['onchip']['steady_epoch_ms_mean']:.0f} ms "
+            f"as one on-chip scan vs "
+            f"{r['per_batch']['steady_epoch_ms_mean']:.0f} ms per-batch — "
+            "dispatch/transfer fully amortized.\n")
     q = load("docs/quant_eval_v5e.json")
     if q:
         out.append(
@@ -651,6 +697,19 @@ def section_perf(out):
         out.append("\nCeiling on this host is the 1-vCPU client side + "
                    "relay transport, not the chip (~6,900 frames/s "
                    "batched-eval capacity).\n")
+        soak = sv.get("soak_r4")
+        if soak:
+            lm = soak["latency_ms"]
+            out.append(
+                f"Steady-state soak (round 4, C={soak['concurrency']}, "
+                f"{soak['duration_s']:.0f} s, {soak['completed']} "
+                f"requests): {soak['throughput_rps']} req/s, p50 "
+                f"{lm['p50']:.0f} / p99 {lm['p99']:.0f} / p999 "
+                f"{lm['p999']:.0f} ms; split-half throughput "
+                f"{soak['first_half']['throughput_rps']} -> "
+                f"{soak['second_half']['throughput_rps']} req/s (no "
+                "degradation; that day's absolute rps was relay-"
+                "transport-bound — see the note in the artifact).\n")
 
 
 def main(argv=None):
