@@ -72,12 +72,15 @@ def section_kd_lift(out):
     eq = load("kd_cache_equiv.json")
     if eq:
         out.append(
-            "Cached-teacher equivalence (`kd_cache_equiv.json`): a full "
-            f"rerun of the seed-{eq['seed']} KD arm with the cached teacher "
-            f"is bit-identical to the in-loop run "
-            f"({f4(eq['student_kd_cached'])} both, abs diff "
-            f"{eq['abs_diff']}) — the benched headline configuration "
-            "provably trains the same model.\n")
+            "Cached-teacher equivalence (`kd_cache_equiv.json`, round-4 "
+            f"rerun — the genuine comparison; the r3 artifact's |diff|=0 "
+            f"was vacuous, see the script docstring): paired 40-epoch "
+            f"seed-{eq['seed']} KD runs from a bit-reproduced teacher — "
+            f"in-loop {f4(eq['student_kd_inloop'])} vs cached "
+            f"{f4(eq['student_kd_cached'])}, |diff| "
+            f"{eq['abs_diff']:.2e} (fp-schedule noise amplified by "
+            "training chaos; far inside seed variance) — the benched "
+            "headline configuration trains an equivalent model.\n")
 
 
 def section_kd_sweep(out):

@@ -49,10 +49,17 @@ def test_kd_comparison_paired_gaps_consistent():
         assert abs(mean - d["mean_miou"][a]) < 1e-3
 
 
-def test_kd_cache_equivalence_is_exact():
+def test_kd_cache_equivalence_within_noise():
+    """Round-4 rerun (the r3 |diff|=0 was vacuous — both arms silently
+    trained in-loop because pre-r4 onchip epochs ignored cache_teacher;
+    see scripts/experiment_kd_cache_equiv.py). The genuine paired 40-epoch
+    comparison must agree within fp-schedule-amplified training noise,
+    far inside the benchmark's seed variance (~2 pt)."""
     d = _load("kd_cache_equiv.json")
-    assert d["abs_diff"] == 0.0
-    assert d["student_kd_cached"] == d["student_kd_inloop"]
+    assert d["abs_diff"] < 5e-3
+    assert abs(d["student_kd_cached"] - d["student_kd_inloop"]) == \
+        d["abs_diff"]
+    assert d["note"].startswith("round-4 rerun")
 
 
 def test_kd_variants_all_positive():
