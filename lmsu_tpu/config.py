@@ -391,6 +391,15 @@ class TrainConfig:
     # 256^2 sample). Same step math as the host-driven path; the padded
     # tail rows are -1-masked exactly like the Batcher's.
     onchip_epoch: bool = False
+    # Validation analog of onchip_epoch: run each validation pass as ONE
+    # on-chip lax.scan over an HBM-resident copy of the val set. None =
+    # follow onchip_epoch when the val loader supports it (Batcher-based,
+    # single-process), silently falling back to the host path otherwise;
+    # True = require it (raise when unsupported); False = never. Motivated
+    # by measurement (docs/onchip_cached_v5e.json context): with 592 ms
+    # on-chip train epochs, per-batch validation re-transferring the val
+    # set every epoch over a slow host link dominated the epoch loop.
+    onchip_eval: Optional[bool] = None
     # Per-step tqdm progress bars over the train/val loaders (reference:
     # trainer.py:81,100 wraps both in tqdm). Off by default: the bar's
     # per-step loss read syncs the host every step, which costs throughput

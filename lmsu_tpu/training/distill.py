@@ -305,6 +305,7 @@ class DistillationTrainer(Trainer):
                                      donate_argnums=0)
         self.eval_step = jax.jit(eval_step, in_shardings=(rep, dsh),
                                  out_shardings=(rep, rep))
+        self._eval_step_fn = eval_step  # unjitted: on-chip val epoch scan
         self.eval_scan = self._make_eval_scan(eval_step)
         self.last_loss_parts: Dict[str, float] = {}
 

@@ -167,6 +167,9 @@ class Trainer:
         self.last_host_stall_frac = 0.0
         self.save_dir = tc.save_dir
         self.history = ckpt.HistoryWriter(self.save_dir)
+        # On-chip validation state (see validate()/_run_val_onchip).
+        self._onchip_val_data = None
+        self._val_epoch_scan = None
         self._build_steps()
 
     # -- jitted steps ------------------------------------------------------
@@ -247,6 +250,7 @@ class Trainer:
                                   out_shardings=(rep, rep, rep), donate_argnums=0)
         self.eval_step = jax.jit(eval_step, in_shardings=(rep, dsh),
                                  out_shardings=(rep, rep))
+        self._eval_step_fn = eval_step  # unjitted: on-chip val epoch scan
         self.eval_scan = self._make_eval_scan(eval_step)
 
         # K chained steps in one dispatch over stacked [K, B, ...] batches.
@@ -501,7 +505,62 @@ class Trainer:
             return self._run_epoch_onchip()
         return self._run_epoch(self.train_loader, train=True)
 
+    # -- on-chip validation (TrainConfig.onchip_eval) ----------------------
+
+    def _onchip_eval_supported(self) -> bool:
+        import jax as _jax
+        return (hasattr(self.val_loader, "batcher")
+                and _jax.process_count() == 1)
+
+    def _run_val_onchip(self) -> Tuple[float, Dict]:
+        """Whole validation pass as ONE dispatch over an HBM-resident copy
+        of the val set — the eval analog of _run_epoch_onchip. Motivation
+        (measured): with 592 ms on-chip train epochs, per-batch validation
+        re-transferring every val batch each epoch over this host's relay
+        (~10 s for 512 samples) dominated the epoch loop."""
+        from lmsu_tpu.data.pipeline import materialize_dataset
+        B = self.val_loader.batcher.batch_size
+        if self._onchip_val_data is None:
+            host = materialize_dataset(self.val_loader.batcher.dataset, B)
+            self._onchip_val_n = host["sample_mask"].shape[0]
+            self._onchip_val_data = shard_batch(host, self.mesh)
+        n_batches = self._onchip_val_n // B
+
+        if self._val_epoch_scan is None:
+            rep = replicated_sharding(self.mesh)
+            dsh = data_sharding(self.mesh)
+            step = self._eval_step_fn
+
+            def val_epoch_scan(state, data):
+                def body(carry, i):
+                    batch = jax.tree_util.tree_map(
+                        lambda a: jax.lax.dynamic_slice_in_dim(
+                            a, i * B, B), data)
+                    loss, cm = step(state, batch)
+                    return carry, (loss, cm)
+                _, (losses, cms) = jax.lax.scan(
+                    body, 0, jnp.arange(n_batches))
+                return losses, jnp.sum(cms, axis=0)
+
+            self._val_epoch_scan = jax.jit(val_epoch_scan,
+                                           in_shardings=(rep, dsh),
+                                           out_shardings=(rep, rep))
+        losses, cm = self._val_epoch_scan(self.state, self._onchip_val_data)
+        return float(jnp.mean(losses)), iou_from_confusion(
+            np.asarray(cm, np.int64))
+
     def validate(self) -> Tuple[float, Dict]:
+        want = self.config.train.onchip_eval
+        if want is None:  # follow onchip_epoch where supported
+            want = (self.config.train.onchip_epoch
+                    and self._onchip_eval_supported())
+        elif want and not self._onchip_eval_supported():
+            raise ValueError(
+                "onchip_eval=True needs a Batcher-based val loader and a "
+                "single process; set onchip_eval=None for automatic "
+                "fallback to the host path.")
+        if want:
+            return self._run_val_onchip()
         return self._run_epoch(self.val_loader, train=False)
 
     # -- checkpointing (reference: trainer.py:116-142) ---------------------

@@ -56,6 +56,10 @@ def add_common_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--onchip-epoch", action="store_true",
                    help="run each train epoch as one lax.scan over an "
                    "HBM-resident copy of the train set")
+    p.add_argument("--onchip-eval", action="store_true",
+                   help="require on-chip validation passes too (default: "
+                   "follows --onchip-epoch when the val loader supports "
+                   "it; TrainConfig.onchip_eval)")
     p.add_argument("--progress", action="store_true",
                    help="per-step tqdm progress bars (reference "
                    "trainer.py:81 analog)")
@@ -195,6 +199,8 @@ def apply_overrides(cfg: ExperimentConfig, args) -> ExperimentConfig:
         train_kw["snapshot_every"] = args.snapshot_every
     if getattr(args, "onchip_epoch", False):
         train_kw["onchip_epoch"] = True
+    if getattr(args, "onchip_eval", False):
+        train_kw["onchip_eval"] = True
     if getattr(args, "progress", False):
         train_kw["progress"] = True
     model = cfg.model

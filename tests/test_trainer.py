@@ -185,6 +185,56 @@ class TestTrainerE2E:
         assert results["host"][1] == pytest.approx(results["onchip"][1],
                                                    abs=1e-6)
 
+    def test_onchip_eval_matches_host_path(self, tmp_path):
+        """On-chip validation (one dispatch over the HBM-resident val set)
+        reproduces the host-driven validate(), including a padded final
+        batch (12 val samples / batch 8)."""
+        import dataclasses
+        cfg = _tiny_config(tmp_path, num_epochs=1)
+        cfg = cfg.replace(data=dataclasses.replace(
+            cfg.data, synthetic_num_val=12))
+        trainer = _make_trainer(cfg)
+        host = trainer.validate()
+        cfg_oc = cfg.replace(train=dataclasses.replace(
+            cfg.train, onchip_eval=True,
+            save_dir=str(tmp_path / "run_oceval")))
+        t2 = _make_trainer(cfg_oc)
+        t2.state = trainer.state  # same params
+        onchip = t2.validate()
+        assert host[0] == pytest.approx(onchip[0], rel=1e-5)
+        assert host[1]["miou"] == pytest.approx(onchip[1]["miou"], abs=1e-6)
+
+    def test_onchip_eval_follows_onchip_epoch(self, tmp_path):
+        """onchip_eval=None + onchip_epoch=True auto-runs validation
+        on-chip (val data materialized); explicit True without a Batcher
+        loader raises."""
+        import dataclasses
+        cfg = _tiny_config(tmp_path, num_epochs=1)
+        cfg = cfg.replace(train=dataclasses.replace(cfg.train,
+                                                    onchip_epoch=True))
+        trainer = _make_trainer(cfg)
+        trainer.train_epoch()
+        loss, m = trainer.validate()
+        assert trainer._onchip_val_data is not None  # on-chip path taken
+        assert np.isfinite(loss) and 0.0 <= m["miou"] <= 1.0
+
+        class _NoBatcher:
+            def __len__(self):
+                return 1
+
+            def __iter__(self):
+                return iter(())
+
+        cfg2 = cfg.replace(train=dataclasses.replace(
+            cfg.train, onchip_epoch=False, onchip_eval=True,
+            save_dir=str(tmp_path / "run_nb")))
+        train_ds, val_ds = create_datasets(cfg2.data)
+        from lmsu_tpu.data import make_loader
+        t2 = Trainer(cfg2, make_loader(train_ds, 8, shuffle=False),
+                     _NoBatcher())
+        with pytest.raises(ValueError, match="onchip_eval"):
+            t2.validate()
+
     def test_onchip_epoch_shuffles_and_learns(self, tmp_path):
         """Shuffled on-chip epochs: per-epoch permutations differ and the
         loss falls across epochs; padded tail rows stay masked."""
