@@ -131,10 +131,17 @@ class PandaSetDataset:
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
         if self._cache is not None and idx in self._cache:
-            return self._cache[idx]
+            # Shallow dict copy: downstream sample_transforms may replace
+            # entries; the cached arrays themselves are frozen below, so
+            # in-place mutation of a hit cannot corrupt later epochs.
+            return dict(self._cache[idx])
         item = self._decode(idx)
         if self._cache is not None:
+            for v in item.values():
+                if isinstance(v, np.ndarray):
+                    v.flags.writeable = False
             self._cache[idx] = item
+            return dict(item)
         return item
 
     def _decode(self, idx: int) -> Dict[str, np.ndarray]:

@@ -432,7 +432,14 @@ class Trainer:
                 "multi-host shard_batch would replicate per process. Use "
                 "the host loader path under multi-host data parallelism.")
         if self._onchip_data is None:
-            host = materialize_dataset(self.train_loader.batcher.dataset, B)
+            # The batcher's sample_transform is part of the data contract —
+            # build_loaders attaches the cell pre-sorter when
+            # scatter_impl='sorted_pallas', whose ordering the sorted-scatter
+            # kernel requires for correctness. Dropping it here would compute
+            # silently wrong losses.
+            host = materialize_dataset(
+                self.train_loader.batcher.dataset, B,
+                sample_transform=self.train_loader.batcher.sample_transform)
             self._onchip_n = host["sample_mask"].shape[0]
             self._onchip_data = shard_batch(host, self.mesh)
         n_batches = self._onchip_n // B
@@ -521,7 +528,11 @@ class Trainer:
         from lmsu_tpu.data.pipeline import materialize_dataset
         B = self.val_loader.batcher.batch_size
         if self._onchip_val_data is None:
-            host = materialize_dataset(self.val_loader.batcher.dataset, B)
+            # Same sample_transform contract as _run_epoch_onchip: the
+            # sorted-scatter kernel needs the batcher's cell pre-sorter.
+            host = materialize_dataset(
+                self.val_loader.batcher.dataset, B,
+                sample_transform=self.val_loader.batcher.sample_transform)
             self._onchip_val_n = host["sample_mask"].shape[0]
             self._onchip_val_data = shard_batch(host, self.mesh)
         n_batches = self._onchip_val_n // B

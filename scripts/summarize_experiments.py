@@ -703,12 +703,15 @@ def section_perf(out):
         soak = sv.get("soak_r4")
         if soak:
             lm = soak["latency_ms"]
+            # percentiles() reports p999=None for runs with <1000 samples.
+            p999 = (f"{lm['p999']:.0f}" if lm.get("p999") is not None
+                    else "n/a")
             out.append(
                 f"Steady-state soak (round 4, C={soak['concurrency']}, "
                 f"{soak['duration_s']:.0f} s, {soak['completed']} "
                 f"requests): {soak['throughput_rps']} req/s, p50 "
                 f"{lm['p50']:.0f} / p99 {lm['p99']:.0f} / p999 "
-                f"{lm['p999']:.0f} ms; split-half throughput "
+                f"{p999} ms; split-half throughput "
                 f"{soak['first_half']['throughput_rps']} -> "
                 f"{soak['second_half']['throughput_rps']} req/s (no "
                 "degradation; that day's absolute rps was relay-"

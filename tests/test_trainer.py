@@ -248,6 +248,53 @@ class TestTrainerE2E:
         assert 0.0 <= best <= 1.0
         assert int(jax.device_get(trainer.state.step)) == 4  # 2 ep x 2 bat
 
+    def test_onchip_paths_apply_sample_transform(self, tmp_path):
+        """Regression (ADVICE r4 high): the on-chip epoch/val paths must
+        materialize the dataset THROUGH the batcher's sample_transform.
+        build_loaders attaches the cell pre-sorter for
+        scatter_impl='sorted_pallas', whose ordering is a hard correctness
+        contract of the sorted-scatter kernel — dropping it computed
+        silently wrong loss/mIoU on-chip."""
+        import dataclasses
+        from lmsu_tpu.data.rasterize import make_point_sorter
+        cfg = _tiny_config(tmp_path, num_epochs=1)
+        cfg = cfg.replace(
+            model=dataclasses.replace(
+                cfg.model, lidar=dataclasses.replace(
+                    cfg.model.lidar, scatter_impl="sorted_pallas")))
+        sorter = make_point_sorter(cfg.model.lidar.grid_size,
+                                   cfg.model.lidar.point_cloud_range)
+        results = {}
+        for name, onchip in (("host", False), ("onchip", True)):
+            c = cfg.replace(train=dataclasses.replace(
+                cfg.train, onchip_epoch=onchip,
+                save_dir=str(tmp_path / f"run_st_{name}")))
+            train_ds, val_ds = create_datasets(c.data)
+            trainer = Trainer(
+                c, make_loader(train_ds, c.data.batch_size, shuffle=False,
+                               sample_transform=sorter),
+                make_loader(val_ds, c.data.batch_size, shuffle=False,
+                            sample_transform=sorter))
+            loss, metrics = trainer.train_epoch()
+            vloss, vmet = trainer.validate()
+            results[name] = (loss, metrics["miou"], vloss, vmet["miou"])
+            if onchip:
+                # The materialized copy itself must be cell-sorted: check a
+                # row against the sorter applied to the raw dataset sample.
+                raw = sorter(train_ds[0])
+                np.testing.assert_allclose(
+                    np.asarray(trainer._onchip_data["points"][0]),
+                    raw["points"], rtol=1e-6)
+                assert trainer._onchip_val_data is not None
+        assert results["host"][0] == pytest.approx(results["onchip"][0],
+                                                   rel=1e-4)
+        assert results["host"][1] == pytest.approx(results["onchip"][1],
+                                                   abs=1e-6)
+        assert results["host"][2] == pytest.approx(results["onchip"][2],
+                                                   rel=1e-4)
+        assert results["host"][3] == pytest.approx(results["onchip"][3],
+                                                   abs=1e-6)
+
     def test_eval_is_deterministic(self, tmp_path):
         cfg = _tiny_config(tmp_path, num_epochs=1)
         trainer = _make_trainer(cfg)
