@@ -68,6 +68,48 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def process_data_stripes(mesh: Mesh, axis: Optional[str] = None):
+    """(num_stripes, stripe_index) for THIS process under P(data) batch
+    sharding: which distinct dim-0 stripe of every global batch this
+    process's devices address.
+
+    On a 1-D mesh (or whenever each process owns >= one full model group)
+    this is (process_count, process_index) — the classic disjoint striping.
+    When the MODEL axis spans processes (devices_per_process < model
+    parallel), several processes address the SAME data rows (the batch is
+    replicated along 'model'), so they must decode identical stripes and
+    the number of distinct stripes is process_count / group_size. Feed the
+    result to make_loader(num_shards=..., shard_index=...).
+    """
+    axis = axis or mesh.axis_names[0]
+    D = mesh.shape[axis]
+    sharding = NamedSharding(mesh, P(axis))
+    # Probe with one row per data shard: each device's slice start IS its
+    # data-row index.
+    full = sharding.devices_indices_map((D,))
+    per_proc: dict = {}
+    for d, idx in full.items():
+        per_proc.setdefault(d.process_index, set()).add(idx[0].start or 0)
+    stripes = sorted({tuple(sorted(s)) for s in per_proc.values()},
+                     key=lambda t: t[0])
+    # Uniformity check: stripes must be identical-or-disjoint, contiguous
+    # blocks covering the axis (guaranteed for data-major reshape meshes;
+    # anything else cannot be fed by contiguous loader shards).
+    seen: set = set()
+    for s in stripes:
+        if set(s) & seen:
+            raise ValueError(
+                f"non-uniform process->data-stripe map {stripes}: stripes "
+                "overlap without being identical; this mesh layout cannot "
+                "be fed by contiguous loader shards")
+        if list(s) != list(range(s[0], s[-1] + 1)):
+            raise ValueError(
+                f"process data stripe {s} is not contiguous")
+        seen |= set(s)
+    mine = tuple(sorted(per_proc[jax.process_index()]))
+    return len(stripes), stripes.index(mine)
+
+
 def shard_batch(batch, mesh: Mesh):
     """Place a host batch dict on the mesh with dim 0 sharded on 'data'.
 
@@ -92,9 +134,18 @@ def _put_global(tree, sharding: NamedSharding, sharded_dim: int):
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(x, sharding), tree)
 
+    # Global rows = local rows x number of DISTINCT data stripes — equal to
+    # process_count on a 1-D mesh, but smaller when the model axis spans
+    # processes (several processes then hold identical local blocks;
+    # make_array_from_process_local_data treats them as replicas).
+    spec_entry = (sharding.spec[sharded_dim]
+                  if len(sharding.spec) > sharded_dim else None)
+    axis = spec_entry[0] if isinstance(spec_entry, tuple) else spec_entry
+    num_stripes, _ = process_data_stripes(sharding.mesh, axis)
+
     def put(x):
         global_shape = list(x.shape)
-        global_shape[sharded_dim] *= jax.process_count()
+        global_shape[sharded_dim] *= num_stripes
         return jax.make_array_from_process_local_data(
             sharding, np.asarray(x), tuple(global_shape))
     return jax.tree_util.tree_map(put, tree)

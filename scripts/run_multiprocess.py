@@ -66,9 +66,10 @@ def worker(args) -> None:
     import numpy as np
     from lmsu_tpu.config import (CameraEncoderConfig, DataConfig,
                                  ExperimentConfig, KDConfig,
-                                 LidarEncoderConfig, ModelConfig, TrainConfig)
+                                 LidarEncoderConfig, MeshConfig, ModelConfig,
+                                 TrainConfig)
     from lmsu_tpu.data import SyntheticMultiModalDataset, make_loader
-    from lmsu_tpu.parallel.mesh import make_mesh
+    from lmsu_tpu.parallel.mesh import make_mesh, process_data_stripes
     from lmsu_tpu.training import DistillationTrainer
 
     batch = 2 * DEVICES_TOTAL  # 2 samples per device, globally
@@ -97,8 +98,13 @@ def worker(args) -> None:
                         # gather is the multi-host production path.
                         cache_hbm_limit_bytes=0)))
 
-    mesh = make_mesh()
+    mesh = make_mesh(MeshConfig(model_parallel=args.model_parallel))
     assert mesh.devices.size == DEVICES_TOTAL
+    # Loader striping must follow the mesh topology, not process_count:
+    # when the model axis spans processes (devices/process < model
+    # parallel), the processes of one model group address the SAME batch
+    # rows and must decode IDENTICAL stripes (parallel/mesh.py).
+    num_stripes, stripe_index = process_data_stripes(mesh)
 
     ds = SyntheticMultiModalDataset(
         num_samples=n_train, image_size=cfg.data.image_size,
@@ -117,9 +123,13 @@ def worker(args) -> None:
         transform = make_point_sorter(cfg.model.lidar.grid_size,
                                       cfg.model.lidar.point_cloud_range)
     train_loader = make_loader(ds, batch, shuffle=False,
-                               sample_transform=transform)
+                               sample_transform=transform,
+                               num_shards=num_stripes,
+                               shard_index=stripe_index)
     val_loader = make_loader(val_ds, batch, shuffle=False,
-                             sample_transform=transform)
+                             sample_transform=transform,
+                             num_shards=num_stripes,
+                             shard_index=stripe_index)
 
     # Record which samples this process actually decoded (stripe check).
     decoded = sorted(
@@ -131,20 +141,28 @@ def worker(args) -> None:
         "expected the host-RAM teacher-cache spill path"
     val_loss, val_metrics = trainer.validate()
 
-    if args.teacher_partition == "fsdp":
-        # The teacher weights must actually be sharded over the data axis
-        # (1/num-devices rows per device), not silently replicated.
+    if args.teacher_partition == "fsdp" or (
+            args.teacher_partition == "tp" and args.model_parallel > 1):
+        # The teacher weights must actually be sharded (over the data axis
+        # for fsdp, the model axis for tp), not silently replicated.
         leaves = jax.tree_util.tree_leaves(trainer.teacher_variables)
         sharded = [x for x in leaves
                    if hasattr(x, "sharding")
                    and not x.sharding.is_fully_replicated]
-        assert sharded, "fsdp teacher: no weight leaf is actually sharded"
+        assert sharded, (f"{args.teacher_partition} teacher: no weight "
+                         "leaf is actually sharded")
+    if args.teacher_partition == "sp":
+        assert trainer._teacher_sp_sharding is not None, \
+            "sp teacher: spatial input sharding not installed"
 
     result = {
         "process_id": args.process_id,
         "num_processes": args.num_processes,
         "teacher_partition": args.teacher_partition,
         "scatter_impl": args.scatter_impl,
+        "model_parallel": args.model_parallel,
+        "num_stripes": num_stripes,
+        "stripe_index": stripe_index,
         "decoded_indices": decoded,
         "train_loss": float(train_loss),
         "train_miou": float(train_metrics["miou"]),
@@ -169,7 +187,8 @@ def launch(args) -> dict:
             [sys.executable, script, "--process-id", str(pid),
              "--num-processes", str(nproc), "--output", out,
              "--teacher-partition", args.teacher_partition,
-             "--scatter-impl", args.scatter_impl],
+             "--scatter-impl", args.scatter_impl,
+             "--model-parallel", str(args.model_parallel)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         return proc, out
 
@@ -199,14 +218,23 @@ def launch(args) -> dict:
         for k in ("train_loss", "val_loss", "train_miou", "val_miou"):
             assert abs(r[k] - dist[0][k]) < 1e-6, (k, r[k], dist[0][k])
 
-    # 2. stripes are disjoint and cover the dataset
-    all_idx = sorted(i for r in dist for i in r["decoded_indices"])
+    # 2. stripe topology: processes sharing a stripe (model axis spanning
+    #    processes) decoded IDENTICAL rows; distinct stripes are disjoint
+    #    and together cover the dataset exactly once.
     n_train = len(ref["decoded_indices"])
-    assert all_idx == list(range(n_train)) == sorted(
-        set(all_idx)), "stripes overlap or miss samples"
-    per_proc = n_train // n
+    num_stripes = dist[0]["num_stripes"]
+    by_stripe = {}
     for r in dist:
-        assert len(r["decoded_indices"]) == per_proc
+        prev = by_stripe.setdefault(r["stripe_index"], r["decoded_indices"])
+        assert prev == r["decoded_indices"], \
+            "replica processes decoded different rows"
+    assert len(by_stripe) == num_stripes
+    all_idx = sorted(i for idxs in by_stripe.values() for i in idxs)
+    assert all_idx == list(range(n_train)), \
+        "stripes overlap or miss samples"
+    per_stripe = n_train // num_stripes
+    for idxs in by_stripe.values():
+        assert len(idxs) == per_stripe
 
     # 3. distributed == single-process (same mesh size; only the collective
     #    implementation differs, so allow fp noise)
@@ -221,6 +249,10 @@ def launch(args) -> dict:
         "devices_total": DEVICES_TOTAL,
         "teacher_partition": args.teacher_partition,
         "scatter_impl": args.scatter_impl,
+        "model_parallel": args.model_parallel,
+        "num_stripes": dist[0]["num_stripes"],
+        "model_axis_spans_processes": (
+            args.model_parallel > DEVICES_TOTAL // n),
         "train_loss_distributed": dist[0]["train_loss"],
         "train_loss_single": ref["train_loss"],
         "val_miou_distributed": dist[0]["val_miou"],
@@ -244,6 +276,13 @@ def main(argv=None):
                    "trainer ('tp' on the 1-D mesh = replicated teacher, "
                    "the round-3 behavior; 'fsdp' shards teacher weight "
                    "storage over the data axis)")
+    p.add_argument("--model-parallel", type=int, default=1,
+                   help="MeshConfig.model_parallel: builds a 2-D "
+                   "('data','model') mesh. With model_parallel > "
+                   "devices-per-process the model axis SPANS process "
+                   "boundaries — tp all-gathers and sp halo exchanges "
+                   "ride the inter-process collectives, and the processes "
+                   "of one model group decode identical batch stripes")
     p.add_argument("--scatter-impl", default="xla",
                    choices=["xla", "xla_fastbwd", "sorted", "pallas",
                             "sorted_pallas"],

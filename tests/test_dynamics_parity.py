@@ -53,31 +53,49 @@ from lmsu_tpu.utils.torch_compat import convert_torch_state_dict  # noqa: E402
 IMG, GRID, NPTS, B = 64, 16, 500, 8   # B divisible by the 8-device mesh
 N_TRAIN, N_EPOCHS = 32, 5          # 4 steps/epoch x 5 epochs = 20 steps
 LR, WD, ETA_MIN = 1e-3, 1e-3, 1e-5
-CLASS_WEIGHTS = (0.4, 3.5)
+
+# The reference's two published training presets: the default 2-class
+# entry (train_fusion_ablation.py) and the quirky 3-class weighted entry
+# (/root/reference/train_pandaset.py:116-136 — concat/256, class weights
+# from its distribution analysis incl. the 33.09 lane weight).
+PRESETS = {
+    "2class_minimal": dict(num_classes=2, fusion_type="minimal",
+                           fusion_out_channels=128,
+                           class_weights=(0.4, 3.5)),
+    "3class_weighted": dict(num_classes=3, fusion_type="concat",
+                            fusion_out_channels=256,
+                            class_weights=(0.39, 2.61, 33.09)),
+}
 
 
-def _build_torch_model() -> "torch.nn.Module":
+def _build_torch_model(preset) -> "torch.nn.Module":
     torch.manual_seed(42)
     cam = TorchTwinLite(return_multiscale=True)
     lidar = TorchLiDAR(encoder_type="spatial", grid_size=(GRID, GRID),
                        use_vectorized=True)
     return TorchComplete(
-        camera_encoder=cam, lidar_encoder=lidar, num_classes=2,
-        fusion_type="minimal", fusion_out_channels=128,
+        camera_encoder=cam, lidar_encoder=lidar,
+        num_classes=preset["num_classes"],
+        fusion_type=preset["fusion_type"],
+        fusion_out_channels=preset["fusion_out_channels"],
         camera_fpn_stages=["stage3", "stage4", "stage5"],
         camera_fpn_channels=128, output_mode="same")
 
 
-def _model_config() -> ModelConfig:
-    return ModelConfig(num_classes=2, fusion_type="minimal",
-                       fusion_out_channels=128,
+def _model_config(preset) -> ModelConfig:
+    return ModelConfig(num_classes=preset["num_classes"],
+                       fusion_type=preset["fusion_type"],
+                       fusion_out_channels=preset["fusion_out_channels"],
                        lidar=LidarEncoderConfig(grid_size=(GRID, GRID)))
 
 
-def _make_batches(n_batches: int, seed: int, label_hw: int):
+def _make_batches(n_batches: int, seed: int, label_hw: int,
+                  num_classes: int = 2):
     """Deterministic batches shared by both trainers. ~3% ignored pixels
     exercises ignore_index; weighted classes exercise the weighted-mean CE
-    normalization (trainer.py:55)."""
+    normalization (trainer.py:55). For 3 classes the label marginals mimic
+    the reference's skewed distribution (86/13/1%) so the 33.09 lane
+    weight actually bites."""
     rng = np.random.default_rng(seed)
     batches = []
     for _ in range(n_batches):
@@ -85,7 +103,12 @@ def _make_batches(n_batches: int, seed: int, label_hw: int):
         pts = rng.normal(0, 20, (B, NPTS, 4)).astype(np.float32)
         pts[..., 2] = rng.uniform(-5, 3, (B, NPTS))
         pts[..., 3] = rng.uniform(0, 1, (B, NPTS))
-        seg = rng.integers(0, 2, (B, label_hw, label_hw)).astype(np.int64)
+        if num_classes == 3:
+            seg = rng.choice(3, (B, label_hw, label_hw),
+                             p=(0.8621, 0.1278, 0.0101)).astype(np.int64)
+        else:
+            seg = rng.integers(0, num_classes,
+                               (B, label_hw, label_hw)).astype(np.int64)
         seg[rng.uniform(size=seg.shape) < 0.03] = -1
         batches.append({"image": images, "points": pts, "segmentation": seg})
     return batches
@@ -129,20 +152,25 @@ class _JaxLoader:
                 sample_mask=np.ones(B, bool))
 
 
-@pytest.fixture(scope="module")
-def trajectories(tmp_path_factory):
+@pytest.fixture(scope="module", params=list(PRESETS))
+def trajectories(request, tmp_path_factory):
     """Run both trainers for N_EPOCHS over identical data; collect per-epoch
-    train/val losses, final params, and final predictions."""
-    tmp = tmp_path_factory.mktemp("dyn")
-    train_batches = _make_batches(N_TRAIN // B, seed=101, label_hw=GRID)
-    val_batches = _make_batches(2, seed=202, label_hw=GRID)
+    train/val losses, final params, and final predictions. Parameterized
+    over both reference training presets (VERDICT r4 next #8)."""
+    preset = PRESETS[request.param]
+    tmp = tmp_path_factory.mktemp(f"dyn_{request.param}")
+    train_batches = _make_batches(N_TRAIN // B, seed=101, label_hw=GRID,
+                                  num_classes=preset["num_classes"])
+    val_batches = _make_batches(2, seed=202, label_hw=GRID,
+                                num_classes=preset["num_classes"])
 
     # ---- torch side: the actual reference Trainer -----------------------
-    tmodel = _build_torch_model()
+    tmodel = _build_torch_model(preset)
     ttrainer = TorchTrainer(
         tmodel, _TorchLoader(train_batches), _TorchLoader(val_batches),
         device="cpu", lr=LR, weight_decay=WD,
-        save_dir=str(tmp / "torch_run"), class_weights=CLASS_WEIGHTS,
+        save_dir=str(tmp / "torch_run"),
+        class_weights=preset["class_weights"],
         num_epochs=N_EPOCHS)
     t_hist = {"train_loss": [], "val_loss": [], "val_miou": []}
     for _ in range(N_EPOCHS):
@@ -160,19 +188,20 @@ def trajectories(tmp_path_factory):
 
     # ---- jax side: our Trainer, seeded with the SAME init ----------------
     cfg = ExperimentConfig(
-        model=_model_config(),
+        model=_model_config(preset),
         data=DataConfig(dataset="synthetic", image_size=(IMG, IMG),
                         grid_size=(GRID, GRID), max_points=NPTS,
                         batch_size=B),
         train=TrainConfig(num_epochs=N_EPOCHS, lr=LR, weight_decay=WD,
-                          eta_min=ETA_MIN, class_weights=CLASS_WEIGHTS,
+                          eta_min=ETA_MIN,
+                          class_weights=preset["class_weights"],
                           save_dir=str(tmp / "jax_run")))
     jtrainer = Trainer(cfg, _JaxLoader(train_batches),
                        _JaxLoader(val_batches))
     # Replace the random init with the converted torch init (weights AND
     # batch_stats), re-initializing the optimizer state to match.
     variables = convert_torch_state_dict(
-        _build_torch_model().state_dict(), cfg.model)
+        _build_torch_model(preset).state_dict(), cfg.model)
     from lmsu_tpu.parallel.mesh import replicate
     from lmsu_tpu.training.trainer import TrainState
     state = TrainState(step=jnp.zeros((), jnp.int32),

@@ -115,7 +115,7 @@ class TestFeedingScripts:
                        timeout=900)
         assert r.returncode == 0, r.stderr[-800:]
         doc = json.loads(rj.read_text())
-        assert set(doc["modes"]) == {"raw", "cache", "packed"}
+        assert set(doc["modes"]) == {"raw", "cache", "packed", "onchip"}
         for mode, rows in doc["modes"].items():
             assert len(rows) == 2
             for row in rows:

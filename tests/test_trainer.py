@@ -185,6 +185,29 @@ class TestTrainerE2E:
         assert results["host"][1] == pytest.approx(results["onchip"][1],
                                                    abs=1e-6)
 
+    def test_onchip_contiguous_matches_host_path(self, tmp_path):
+        """onchip_contiguous (pre-permute + contiguous slices) reproduces
+        the host-driven epoch on the plain trainer too (no sliceable
+        extras — the base-trainer branch of the contiguous scan)."""
+        import dataclasses
+        cfg_a = _tiny_config(tmp_path, num_epochs=1)
+        cfg_b = cfg_a.replace(train=dataclasses.replace(
+            cfg_a.train, onchip_epoch=True, onchip_contiguous=True,
+            save_dir=str(tmp_path / "run_contig")))
+        results = {}
+        for name, cfg in (("host", cfg_a), ("contig", cfg_b)):
+            train_ds, val_ds = create_datasets(cfg.data)
+            trainer = Trainer(
+                cfg, make_loader(train_ds, cfg.data.batch_size,
+                                 shuffle=False),
+                make_loader(val_ds, cfg.data.batch_size, shuffle=False))
+            loss, metrics = trainer.train_epoch()
+            results[name] = (loss, metrics["miou"])
+        assert results["host"][0] == pytest.approx(results["contig"][0],
+                                                   rel=1e-4)
+        assert results["host"][1] == pytest.approx(results["contig"][1],
+                                                   abs=1e-6)
+
     def test_onchip_eval_matches_host_path(self, tmp_path):
         """On-chip validation (one dispatch over the HBM-resident val set)
         reproduces the host-driven validate(), including a padded final
