@@ -423,6 +423,7 @@ def main() -> None:
         batches = [HEADLINE_BATCH if on_tpu else 4]
 
     results = []
+    cached_results = []
     model = None
     for b in batches:
         r, m = measure_batch(b, compute_dtype, want_flops=True,
@@ -430,19 +431,38 @@ def main() -> None:
         if r is not None:
             results.append(r)
             model = m
+        if args.sweep and on_tpu:
+            # VERDICT r4 next #7: the headline batch was chosen by the
+            # IN-LOOP argmax (round 2, xla scatter); the cached +
+            # sorted-Pallas step has a different byte/FLOP mix, so sweep
+            # the HEADLINE variant too.
+            rc, _ = measure_batch(b, compute_dtype, want_flops=True,
+                                  cached_teacher=True, tiny=args.tiny,
+                                  scatter_impl=args.scatter_impl)
+            if rc is not None:
+                cached_results.append(rc)
     if not results:
         print(f"all measured batch sizes ({batches}) ran out of device "
               f"memory — rerun with a smaller --batch", file=sys.stderr)
         sys.exit(1)
     best = max(results, key=lambda r: r["frames_per_sec"])
+    if cached_results:
+        # Headline batch follows the CACHED sweep argmax when available.
+        best_cached = max(cached_results, key=lambda r: r["frames_per_sec"])
+        best = next((r for r in results
+                     if r["batch"] == best_cached["batch"]), best)
 
     # HEADLINE: the steady-state step with KDConfig.cache_teacher on (the
     # teacher forward comes from the precomputed cache — the recommended
     # production path for this workload, training/distill.py; see module
     # docstring). In-loop-teacher numbers stay in `detail`.
-    cached, _ = measure_batch(best["batch"], compute_dtype, want_flops=True,
-                              cached_teacher=True, tiny=args.tiny,
-                              scatter_impl=args.scatter_impl)
+    if cached_results:
+        cached = max(cached_results, key=lambda r: r["frames_per_sec"])
+    else:
+        cached, _ = measure_batch(best["batch"], compute_dtype,
+                                  want_flops=True, cached_teacher=True,
+                                  tiny=args.tiny,
+                                  scatter_impl=args.scatter_impl)
 
     peak = PEAK_FLOPS.get(kind)
     mfu = None
@@ -473,6 +493,11 @@ def main() -> None:
                            "frames_per_sec": round(r["frames_per_sec"], 1)}
                           for r in results],
     }
+    if cached_results:
+        detail["sweep_cached"] = [
+            {"batch": r["batch"],
+             "frames_per_sec": round(r["frames_per_sec"], 1)}
+            for r in cached_results]
     if args.tiny:
         detail["tiny"] = True  # smoke-mode numbers: not comparable
     if cached is not None:
