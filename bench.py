@@ -231,19 +231,23 @@ def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
                     {k: v.astype(dt) for k, v in t_feats.items()})
         t_cached = jax.tree_util.tree_map(jax.block_until_ready, t_cached)
 
-    def scan_step(carry, _):
-        st, cm_total = carry
-        st, loss, cm = kd_step(st, images, points, labels, t_cached)
-        return (st, cm_total + cm), loss
-
+    # The bench batch and cached teacher tensors are jit ARGUMENTS, not
+    # closure constants: embedded constants ride the HLO upload to the
+    # remote compiler, and the cached-teacher taps at B>=64 exceed the
+    # relay's request-size limit (HTTP 413, found by the r5 cached sweep).
     @functools.partial(jax.jit, donate_argnums=0)
-    def run(st):
+    def run(st, images, points, labels, t_cached):
+        def scan_step(carry, _):
+            st, cm_total = carry
+            st, loss, cm = kd_step(st, images, points, labels, t_cached)
+            return (st, cm_total + cm), loss
         cm0 = jnp.zeros((2, 2), jnp.int32)
         (st, cm), losses = jax.lax.scan(scan_step, (st, cm0), None,
                                         length=n_iters)
         return st, cm, losses
 
-    return run, state, n_iters, (student, s_vars)
+    data_args = (images, points, labels, t_cached)
+    return run, state, data_args, n_iters, (student, s_vars)
 
 
 def measure_batch(batch: int, compute_dtype, want_flops: bool = False,
@@ -262,18 +266,18 @@ def measure_batch(batch: int, compute_dtype, want_flops: bool = False,
 
     from lmsu_tpu.utils.profiling import aot_compile_with_cost
     try:
-        run, state, n_iters, model = build_kd_bench(
+        run, state, data_args, n_iters, model = build_kd_bench(
             batch, compute_dtype, cached_teacher=cached_teacher, tiny=tiny,
             scatter_impl=scatter_impl)
         t0 = time.perf_counter()
-        compiled, flops, _ = aot_compile_with_cost(run, state)
+        compiled, flops, _ = aot_compile_with_cost(run, state, *data_args)
         if not want_flops:
             flops = 0.0
-        state, cm, losses = compiled(state)
+        state, cm, losses = compiled(state, *data_args)
         jax.block_until_ready(losses)
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        state, cm, losses = compiled(state)
+        state, cm, losses = compiled(state, *data_args)
         jax.block_until_ready(losses)
         step_ms = (time.perf_counter() - t0) / n_iters * 1e3
         fps = batch / step_ms * 1e3

@@ -56,16 +56,16 @@ def main():
         # Off-TPU: tiny shapes (the full-size frozen teacher stalls XLA:CPU
         # constant folding for tens of minutes — see build_kd_bench) so the
         # script stays smoke-testable; numbers are only meaningful on TPU.
-        run, state, n_iters, _ = build_kd_bench(
+        run, state, data_args, n_iters, _ = build_kd_bench(
             args.batch, dtype, cached_teacher=True, tiny=not on_tpu,
             scatter_impl="sorted_pallas" if on_tpu else None,
             kd_overrides=overrides, use_pallas_loss=pallas_loss)
         t0 = time.perf_counter()
-        state, cm, losses = run(state)
+        state, cm, losses = run(state, *data_args)
         jax.block_until_ready(losses)
         compile_s = time.perf_counter() - t0
         t0 = time.perf_counter()
-        state, cm, losses = run(state)
+        state, cm, losses = run(state, *data_args)
         jax.block_until_ready(losses)
         ms = (time.perf_counter() - t0) / n_iters * 1e3
         print(f"{name:8s}: {ms:7.3f} ms/step (compile+warm {compile_s:.0f}s, "

@@ -125,16 +125,16 @@ def main() -> None:
             # live — no model compute. ms/step here is the pure gather tax
             # the contiguous variant is built to remove.
             B = args.batch_size
-            data = trainer._onchip_data
-            cache = trainer.teacher_cache
+            dev_data = trainer._onchip_data
+            dev_cache = trainer.teacher_cache
             n = trainer._onchip_n
             nb = n // B
 
-            def gather_epoch(data, cache, perm):
+            def gather_epoch(data_, cache_, perm):
                 def body(acc, i):
                     idx = jax.lax.dynamic_slice_in_dim(perm, i * B, B)
                     rows = jax.tree_util.tree_map(
-                        lambda a: jnp.take(a, idx, axis=0), (data, cache))
+                        lambda a: jnp.take(a, idx, axis=0), (data_, cache_))
                     s = sum(jnp.sum(x.astype(jnp.float32))
                             for x in jax.tree_util.tree_leaves(rows))
                     return acc + s, None
@@ -145,14 +145,14 @@ def main() -> None:
             import numpy as _np
             perm = jnp.asarray(
                 _np.random.default_rng(0).permutation(n).astype(_np.int32))
-            jax.block_until_ready(g(data, cache, perm))  # compile
+            jax.block_until_ready(g(dev_data, dev_cache, perm))  # compile
             times = []
             for _ in range(3):
                 t0 = time.perf_counter()
-                jax.block_until_ready(g(data, cache, perm))
+                jax.block_until_ready(g(dev_data, dev_cache, perm))
                 times.append(time.perf_counter() - t0)
             gb = sum(x.size * x.dtype.itemsize for x in
-                     jax.tree_util.tree_leaves((data, cache))) / 1e9
+                     jax.tree_util.tree_leaves((dev_data, dev_cache))) / 1e9
             gather_probe = {
                 "epoch_s": [round(t, 4) for t in times],
                 "ms_per_step": round(min(times) / nb * 1e3, 3),

@@ -649,16 +649,41 @@ def section_perf(out):
                        f"{rows[1]['wall_s']} | {rows[2]['wall_s']} | "
                        f"{st:.0%} |")
         out.append("")
+    ocd = load("docs/dress_rehearsal_onchip_v5e.json")
+    if ocd:
+        pk = ocd["modes"]["packed"]
+        oc_rows = ocd["modes"]["onchip"]
+        out.append(
+            "On-chip epochs at REFERENCE scale (round 5, "
+            "`docs/dress_rehearsal_onchip_v5e.json`, same-day pairing, "
+            "1,920 train frames, cached-teacher KD, sorted_pallas + "
+            f"onchip_contiguous): steady epoch {oc_rows[1]['wall_s']} s "
+            f"({oc_rows[1]['frames_per_sec']:.0f} frames/s) as one "
+            f"dispatch vs {pk[1]['wall_s']} s host-driven packed — "
+            "reference-scale training on this relay-attached host is now "
+            "chip-bound (BASELINE.md).\n")
     oc = load("docs/onchip_cached_v5e.json")
     if oc:
         r = oc["results"]
-        out.append(
-            f"Cached-teacher x on-chip epoch (round 4, "
+        contig = r.get("onchip_contig")
+        gp = oc.get("gather_probe")
+        msg = (
+            f"Cached-teacher x on-chip epoch (round 5, "
             f"`docs/onchip_cached_v5e.json`, {oc['num_train']} samples): "
             f"steady-state epoch {r['onchip']['steady_epoch_ms_mean']:.0f} ms "
             f"as one on-chip scan vs "
             f"{r['per_batch']['steady_epoch_ms_mean']:.0f} ms per-batch — "
-            "dispatch/transfer fully amortized.\n")
+            "dispatch/transfer fully amortized.")
+        if contig:
+            msg += (f" `onchip_contiguous` (pre-permute + contiguous "
+                    f"slices) cuts it to "
+                    f"{contig['steady_epoch_ms_mean']:.0f} ms")
+        if gp:
+            msg += (f"; the removed per-step gathers measured "
+                    f"{gp['ms_per_step']} ms/step at {gp['effective_gbps']}"
+                    " GB/s effective (gather-only probe — see DESIGN.md "
+                    "\"gather tax\")")
+        out.append(msg + ".\n")
     q = load("docs/quant_eval_v5e.json")
     if q:
         out.append(
