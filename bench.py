@@ -52,12 +52,16 @@ BASELINE_FRAMES_PER_SEC = 3.05  # BASELINE.md: measured reference train step
 
 # bf16 peak of one v5e chip (MXU), for the MFU line.
 PEAK_FLOPS = {"TPU v5e": 197e12, "TPU v5 lite": 197e12}
-# Best batch from the round-2 sweep (bench.py --sweep on the real chip):
-# B=32 794.4 / B=64 786.6 / B=128 726.3 / B=256 711.2 frames/s — throughput
-# FALLS with batch (the step is HBM-bandwidth-bound, not overhead-bound;
-# XLA counts 691 GFLOP/step at B=32 = 8.7% MFU), so the smallest measured
-# batch is the headline.
-HEADLINE_BATCH = 32
+# Best batch from the round-5 CACHED-variant sweep (bench.py --sweep on
+# the real chip, sorted_pallas + bf16): cached B=32 1140.5 / 64 1184.6 /
+# 96 1277.1 / 128 **1320.9** / 192 1217.2 / 256 1272.7 frames/s (in-loop
+# peaks at 128 too: 1197.4). This OVERTURNS the round-2 argmax (B=32,
+# measured on the xla-scatter in-loop step, where throughput fell with
+# batch): the sorted-input MXU scatter + KD-tail work changed the
+# byte/FLOP mix enough that larger batches now amortize fixed VPU/scan
+# costs — in-loop MFU 14.4% at B=128 vs 8.7% at the old B=32 argmax.
+# VERDICT r4 next #7 closure.
+HEADLINE_BATCH = 128
 
 
 def bench_shapes(tiny: bool):
