@@ -72,7 +72,8 @@ def bench_shapes(tiny: bool):
 def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
                    cached_teacher: bool = False, tiny: bool = False,
                    scatter_impl: str = None, kd_overrides: dict = None,
-                   use_pallas_loss: bool = False):
+                   use_pallas_loss: bool = False,
+                   camera_remat: bool = False):
     """Returns (run, state, n_iters, (student, s_vars)) where run(state)
     executes n_iters chained KD train steps in one lax.scan dispatch.
 
@@ -117,6 +118,13 @@ def build_kd_bench(batch: int, compute_dtype, seed: int = 0,
             import dataclasses
             student_cfg = student_cfg.replace(lidar=dataclasses.replace(
                 student_cfg.lidar, scatter_impl=scatter_impl))
+    if camera_remat:
+        # Probe arm (scripts/probe_b128_levers.py): per-stage remat was
+        # +8% at the old B=32 headline; re-measured at each new headline
+        # batch since the bytes/FLOP balance shifts with B.
+        import dataclasses
+        student_cfg = student_cfg.replace(camera=dataclasses.replace(
+            student_cfg.camera, remat=True))
     img_hw, n_pts, label_hw = bench_shapes(tiny)
     teacher_cfg = teacher_config(student_cfg, 2.0)
     kd = KDConfig(enabled=True, feature_taps=("camera_feat", "lidar_feat",
